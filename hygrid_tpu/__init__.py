@@ -1,0 +1,43 @@
+"""hygrid_tpu — TPU-native hybrid hexagonal/rectangular image processing.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of
+Tesla-Albert/Hybrid-Grid-for-Hexagonal-and-Rectangular-Image-Processing
+("HyGrid"), designed TPU-first: static shapes, trace-time resampling plans,
+fused gathers, MXU-friendly hex convolutions and mesh-sharded execution.
+
+Unlike the reference (whose ``__init__`` files are empty and force submodule
+imports), this package curates a public namespace.
+"""
+from . import lattice
+from .lattice import HexSpec
+from .ops import (
+    image_geometric_transformation,
+    hex_to_rect_resample,
+    rect_to_hex_resample,
+    hexresize,
+    warp_output_shape,
+    heximpad,
+    hex_impad_to_multiple,
+    heximage_to_type1,
+    heximage_to_type2,
+    type1_to_heximage,
+    type2_to_heximage,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "lattice",
+    "HexSpec",
+    "image_geometric_transformation",
+    "hex_to_rect_resample",
+    "rect_to_hex_resample",
+    "hexresize",
+    "warp_output_shape",
+    "heximpad",
+    "hex_impad_to_multiple",
+    "heximage_to_type1",
+    "heximage_to_type2",
+    "type1_to_heximage",
+    "type2_to_heximage",
+]

@@ -1,0 +1,395 @@
+"""Functional hex NN ops (layer L3 core).
+
+Rebuild of ``HexFrames.py`` on jax.  Two interchangeable convolution
+implementations:
+
+* ``impl="type1"`` — mirrors the reference algorithm exactly
+  (``HexFrames.py:96-169``): scatter the ``3r^2-3r+1`` hex weights into a
+  sparse rect kernel, expand the input to the double-width type-1 packing,
+  run two strided convs (even/odd row phases), trim and interleave.
+
+* ``impl="direct"`` (default) — TPU-native reformulation.  The type-1
+  expansion is algebraically eliminated: because type-1 merely duplicates
+  each hex pixel at columns ``2j+q`` / ``2j+1+q``, each tap of the sparse
+  kernel reads hex pixel ``j = s*wo + d*k + c0(i)`` of the ORIGINAL storage,
+  where the per-kernel-row column offset ``c0`` folds the brick-wall parity.
+  The result is two dense masked convs with window stride ``(2s, s)`` on the
+  un-expanded image — ~2x fewer FLOPs, half the memory traffic, and XLA maps
+  them straight onto the MXU.  Both paths agree to float tolerance (tested).
+
+All shape bookkeeping happens in Python at trace time; everything under jit
+is static-shaped.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional, Sequence, Tuple, Union
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = [
+    "pad2d",
+    "hex_kernel_num",
+    "scatter_hex_kernel",
+    "hex_conv2d",
+    "hex_conv2d_output_shape",
+    "hex_pool2d",
+    "hex_adaptive_pool2d",
+    "hex_global_pool2d",
+    "max_pooling",
+    "min_pooling",
+    "average_pooling",
+]
+
+_DN = ("NCHW", "OIHW", "NCHW")
+
+_PAD_MODES = {
+    "constant": "constant",
+    "zeros": "constant",
+    "reflect": "reflect",
+    "replicate": "edge",
+    "circular": "wrap",
+}
+
+
+def pad2d(x, padding, mode: str = "constant", value=0):
+    """Symmetric spatial padding of (..., H, W); the ``pad`` helper of
+    ``HexFrames.py:13-21``.  ``padding`` may be an int or
+    ``(left, right, top, bottom)`` (torch ``F.pad`` order)."""
+    if isinstance(padding, int):
+        l = r = t = b = padding
+    else:
+        l, r, t, b = padding
+    if l == r == t == b == 0:
+        return x
+    pw = [(0, 0)] * (x.ndim - 2) + [(t, b), (l, r)]
+    jmode = _PAD_MODES[mode]
+    if jmode == "constant":
+        return jnp.pad(x, pw, mode="constant", constant_values=value)
+    return jnp.pad(x, pw, mode=jmode)
+
+
+def hex_kernel_num(radius: int) -> int:
+    """Number of cells in a hex kernel of the given radius
+    (``HexFrames.py:52``)."""
+    return 3 * radius * radius - 3 * radius + 1
+
+
+def _hex_kernel_rows(radius: int):
+    """Per-row layout of the flat hex kernel: (row, vdist, ncells, start)."""
+    ks = 2 * radius - 1
+    rows, start = [], 0
+    for i in range(ks):
+        t = abs(i - radius + 1)
+        ln = ks - t
+        rows.append((i, t, ln, start))
+        start += ln
+    return rows
+
+
+def scatter_hex_kernel(kernel, radius: int, dilation: int = 1):
+    """Scatter flat hex weights (O, I, kernelnum) into the sparse rect kernel
+    (O, I, k_h, k_w) used over type-1 images (``HexFrames.py:108-118``)."""
+    d = dilation
+    ks = 2 * radius - 1
+    k_h = (ks - 1) * d + 1
+    k_w = 2 * d * (ks - 1) + 1
+    out = jnp.zeros(kernel.shape[:2] + (k_h, k_w), kernel.dtype)
+    for (i, t, ln, start) in _hex_kernel_rows(radius):
+        out = out.at[:, :, i * d, t * d: t * d + (ln - 1) * 2 * d + 1: 2 * d].set(
+            kernel[:, :, start:start + ln])
+    return out
+
+
+def _type1_expand(x, parity: int):
+    """heximage -> type-1 on (B, C, H, W); see ops.convert (duplicated here
+    to keep nn free of cross-package import cycles)."""
+    b, c, h, w = x.shape
+    doubled = jnp.repeat(x, 2, axis=3)
+    padded = jnp.pad(doubled, ((0, 0), (0, 0), (0, 0), (1, 1)))
+    q = (jnp.arange(h) + parity) % 2
+    col = jnp.arange(2 * w + 1)[None, :] + (q[:, None] ^ 1)
+    return jnp.take_along_axis(padded, col[None, None], axis=3)
+
+
+def _conv(x, w, stride, groups):
+    # accumulate low-precision inputs in f32 on the MXU, return input dtype
+    pet = jnp.float32 if x.dtype in (jnp.bfloat16, jnp.float16) else x.dtype
+    out = lax.conv_general_dilated(
+        x, w, window_strides=stride, padding="VALID",
+        dimension_numbers=_DN, feature_group_count=groups,
+        preferred_element_type=pet)
+    return out.astype(x.dtype)
+
+
+def hex_conv2d_output_shape(h: int, w: int, radius: int, stride: int = 1,
+                            padding: int = 0, dilation: int = 1
+                            ) -> Tuple[int, int]:
+    """Output (H', W') of hex_conv2d for an (h, w) input, following the
+    reference's exact bookkeeping over the type-1 image."""
+    h, w = h + 2 * padding, w + 2 * padding
+    s, d = stride, dilation
+    ks = 2 * radius - 1
+    k_h = (ks - 1) * d + 1
+    k_w = 2 * d * (ks - 1) + 1
+    wt = 2 * w + 1
+    wo = (wt - 1 - s - k_w) // (2 * s) + 1 if wt - 1 - s >= k_w else 0
+    ho_e = (h - k_h) // (2 * s) + 1 if h >= k_h else 0
+    ho_o = (h - s - k_h) // (2 * s) + 1 if h - s >= k_h else 0
+    return ho_e + ho_o, wo
+
+
+def _hex_conv2d_type1(x, weight, bias, parity, s, groups, k_h, k_w):
+    """Reference-mirroring path (HexFrames.py:124-169)."""
+    t1 = _type1_expand(x, parity)
+    even_in = t1[:, :, :, 1:-s]
+    odd_in = t1[:, :, s:, s + 1:]
+    evenconv = oddconv = None
+    if even_in.shape[2] >= k_h and even_in.shape[3] >= k_w:
+        evenconv = _conv(even_in, weight, (2 * s, 2 * s), groups)
+    if odd_in.shape[2] >= k_h and odd_in.shape[3] >= k_w:
+        oddconv = _conv(odd_in, weight, (2 * s, 2 * s), groups)
+    return _merge_phases(evenconv, oddconv, bias)
+
+
+def _merge_phases(evenconv, oddconv, bias):
+    if evenconv is not None and oddconv is not None:
+        pad_width = evenconv.shape[3] - oddconv.shape[3]
+        if pad_width > 0:
+            evenconv = evenconv[:, :, :, :-pad_width]
+        elif pad_width < 0:
+            oddconv = oddconv[:, :, :, :pad_width]
+        b, c = evenconv.shape[:2]
+        he, ho, wo = evenconv.shape[2], oddconv.shape[2], evenconv.shape[3]
+        out = jnp.zeros((b, c, he + ho, wo), evenconv.dtype)
+        out = out.at[:, :, ::2].set(evenconv[:, :, :(he + ho + 1) // 2])
+        out = out.at[:, :, 1::2].set(oddconv[:, :, :(he + ho) // 2])
+    elif evenconv is not None:
+        out = evenconv
+    elif oddconv is not None:
+        out = oddconv
+    else:
+        raise ValueError(
+            "input too small for this hex kernel "
+            "(the reference crashes here too, HexFrames.py:163)")
+    if bias is not None:
+        out = out + bias[None, :, None, None]
+    return out
+
+
+def _direct_phase_kernel(kernel, radius, d, c0):
+    """Dense masked kernel for one row-parity phase of the direct path.
+    Taps of kernel row i land at columns ``c0[i] - base + d*k``."""
+    rows = _hex_kernel_rows(radius)
+    base = min(c0)
+    k_h = (2 * radius - 2) * d + 1
+    k_w = max(c0[i] - base + d * (ln - 1) for (i, t, ln, st) in rows) + 1
+    out = jnp.zeros(kernel.shape[:2] + (k_h, k_w), kernel.dtype)
+    for (i, t, ln, start) in rows:
+        c = c0[i] - base
+        out = out.at[:, :, i * d, c: c + (ln - 1) * d + 1: d].set(
+            kernel[:, :, start:start + ln])
+    return out, base, k_w
+
+
+def _hex_conv2d_direct(x, kernel, bias, parity, radius, s, d, groups):
+    """TPU-native path: two masked convs on the ORIGINAL brick-wall storage.
+
+    Derivation: a tap of the type-1 kernel at (row i*d, col t*d + 2dk) read
+    through the even-phase slice ``T[:, :, :, 1:-s]`` with stride (2s, 2s)
+    touches hex pixel ``(2s*ho + i*d, s*wo + d*k + c0_e(i))`` with
+    ``c0_e(i) = (1 + t*d - (i*d+p)%2) // 2``; the odd phase analogously with
+    ``c0_o(i) = (s + 1 + t*d - (s+i*d+p)%2) // 2``.  Window stride over the
+    un-expanded image is therefore (2s, s).
+    """
+    b, c, h, w = x.shape
+    rows = _hex_kernel_rows(radius)
+    ks = 2 * radius - 1
+    k_h = (ks - 1) * d + 1
+    k_w_t1 = 2 * d * (ks - 1) + 1
+    wt = 2 * w + 1
+
+    c0e = [(1 + t * d - ((i * d + parity) % 2)) // 2 for (i, t, ln, st) in rows]
+    c0o = [(s + 1 + t * d - ((s + i * d + parity) % 2)) // 2 for (i, t, ln, st) in rows]
+
+    exists_e = h >= k_h and wt - 1 - s >= k_w_t1
+    exists_o = h - s >= k_h and wt - s - 1 >= k_w_t1
+    wo = (wt - 1 - s - k_w_t1) // (2 * s) + 1
+
+    evenconv = oddconv = None
+    if exists_e or exists_o:
+        ke, base_e, kwe = _direct_phase_kernel(kernel, radius, d, c0e)
+        ko, base_o, kwo = _direct_phase_kernel(kernel, radius, d, c0o)
+        need = max(base_e + kwe + s * (wo - 1), base_o + kwo + s * (wo - 1))
+        if need > w:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, need - w)))
+        if exists_e:
+            ho_e = (h - k_h) // (2 * s) + 1
+            evenconv = _conv(x[:, :, :, base_e:], ke, (2 * s, s), groups)
+            evenconv = evenconv[:, :, :ho_e, :wo]
+        if exists_o:
+            ho_o = (h - s - k_h) // (2 * s) + 1
+            oddconv = _conv(x[:, :, s:, base_o:], ko, (2 * s, s), groups)
+            oddconv = oddconv[:, :, :ho_o, :wo]
+    return _merge_phases(evenconv, oddconv, bias)
+
+
+def hex_conv2d(x, kernel, bias=None, *, even_odd_offset: int = 0,
+               radius: int, stride: int = 1, padding: int = 0,
+               dilation: int = 1, groups: int = 1,
+               padding_mode: str = "constant", padding_value=0,
+               impl: str = "direct"):
+    """Hexagonal convolution over brick-wall storage.
+
+    Args:
+        x: (B, C, H, W) (or fewer dims, auto-expanded like
+           ``HexFrames.py:119-120``).
+        kernel: flat hex weights (O, C // groups, kernelnum) with
+           ``kernelnum = 3r^2 - 3r + 1``; rows ordered top-to-bottom,
+           cells left-to-right (``HexFrames.py:74,114-118``).
+        even_odd_offset: parity of the FIRST input row; flips with padding
+           (``HexFrames.py:44``).
+        impl: ``"direct"`` (TPU-native, default) or ``"type1"``
+           (reference-mirroring).
+
+    Returns (B, O, H', W') with output offset 0 (``HexFrames.py:56``).
+    """
+    x = jnp.asarray(x)
+    while x.ndim < 4:
+        x = x[None]
+    kernel = jnp.asarray(kernel)
+    if kernel.ndim == 4:  # accept reference (O, I, 1, kernelnum) layout
+        kernel = kernel[:, :, 0, :]
+    x = x.astype(kernel.dtype)
+    x = pad2d(x, padding, padding_mode, padding_value)
+    parity = (even_odd_offset + padding) % 2
+    s, d = stride, dilation
+    if impl == "type1":
+        ks = 2 * radius - 1
+        k_h = (ks - 1) * d + 1
+        k_w = 2 * d * (ks - 1) + 1
+        weight = scatter_hex_kernel(kernel, radius, d)
+        return _hex_conv2d_type1(x, weight, bias, parity, s, groups, k_h, k_w)
+    if impl == "direct":
+        return _hex_conv2d_direct(x, kernel, bias, parity, radius, s, d, groups)
+    raise ValueError(f"unknown impl {impl!r}")
+
+
+# --------------------- cell statistical properties ---------------------
+# NaN-aware reductions (HexFrames.py:461-479)
+
+def max_pooling(x):
+    return jnp.max(jnp.where(jnp.isnan(x), -jnp.inf, x), axis=-1)
+
+
+def min_pooling(x):
+    return jnp.min(jnp.where(jnp.isnan(x), jnp.inf, x), axis=-1)
+
+
+def average_pooling(x):
+    nan = jnp.isnan(x)
+    count = jnp.sum(~nan, axis=-1)
+    total = jnp.sum(jnp.where(nan, 0, x), axis=-1)
+    return jnp.where(count == 0, jnp.nan, total / jnp.maximum(count, 1))
+
+
+_REDUCTIONS = {"max": max_pooling, "min": min_pooling, "average": average_pooling}
+
+
+def _reduction(method: str):
+    if method == "centroid":
+        raise NotImplementedError(
+            "'centroid' pooling is declared but undefined in the reference "
+            "(HexFrames.py:360,408 reference a non-existent centroid_pooling)")
+    return _REDUCTIONS[method]
+
+
+def hex_pool2d(x, method: str, kernel_size=2, stride=None, padding: int = 0,
+               even_odd_offset: int = 0, padding_mode: str = "constant",
+               padding_value=0, ceil_mode: bool = False,
+               count_include_pad: bool = True):
+    """Strided pooling on the brick lattice via window gather
+    (``HexFrames.py:286-336``), incl. the reference's exact ceil-mode
+    bookkeeping (whose ph/pw pads land on width/height respectively,
+    ``HexFrames.py:294-299`` — replicated).
+    """
+    x = jnp.asarray(x)
+    while x.ndim < 4:
+        x = x[None]
+    reduce_fn = _reduction(method)
+    if isinstance(kernel_size, int):
+        kernel_size = (kernel_size, kernel_size)
+    kh, kw = kernel_size
+    if stride is None:
+        stride = kernel_size
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    sh, sw = stride
+
+    x = pad2d(x, padding, padding_mode, padding_value)
+    b, c, h, w = x.shape
+    hn = h // sh
+    wn = (w - sw // 2 - sw) // sw + 1
+    if ceil_mode:
+        ph = (kh - h + hn * sh) % kh
+        pw = (kw - w + (wn * sw + sw // 2)) % kw
+        fill = 0.0 if count_include_pad else jnp.nan
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, pw), (0, ph)),
+                    constant_values=fill)
+        b, c, h, w = x.shape
+    hn = (h - kh) // sh + 1
+    wn = (w - sw // 2) // sw
+
+    gi, gj = np.meshgrid(np.arange(hn), np.arange(wn), indexing="ij")
+    li, lj = np.meshgrid(np.arange(kh), np.arange(kw), indexing="ij")
+    top = sh * gi
+    left = (gi % 2) * (sw // 2) + gj * sw
+    ii = top[:, :, None, None] + li[None, None]
+    jj = left[:, :, None, None] + lj[None, None]
+    if ii.max() >= h or jj.max() >= w:
+        raise ValueError(
+            f"pooling window exceeds input: kernel {kernel_size}, stride "
+            f"{stride} on ({h}, {w}) (the reference indexes out of bounds "
+            "here as well, HexFrames.py:330-331)")
+    windows = x[:, :, jnp.asarray(ii), jnp.asarray(jj)]        # (b,c,hn,wn,kh,kw)
+    return reduce_fn(windows.reshape(b, c, hn, wn, kh * kw))
+
+
+def hex_adaptive_pool2d(x, outsize, method: str):
+    """Adaptive output-size pooling (``HexFrames.py:344-401``).
+
+    Accepts int or (h, w) — the reference's typecheck rejects lists despite
+    documenting them (``HexFrames.py:352-355``); fixed divergence.
+    """
+    x = jnp.asarray(x)
+    while x.ndim < 4:
+        x = x[None]
+    reduce_fn = _reduction(method)
+    if isinstance(outsize, int):
+        outsize = (outsize, outsize)
+    hn, wn = outsize
+    b, c, h, w = x.shape
+    grid_h = int(h / hn)
+    grid_w = int(w / (wn + 0.5)) if grid_h > 1 else int(w / wn)
+
+    gi, gj = np.meshgrid(np.arange(hn), np.arange(wn), indexing="ij")
+    li, lj = np.meshgrid(np.arange(grid_h), np.arange(grid_w), indexing="ij")
+    top = grid_h * gi
+    left = (gi % 2) * (grid_w // 2) + gj * grid_w
+    ii = np.clip(top[:, :, None, None] + li[None, None], 0, h - 1)
+    jj = np.clip(left[:, :, None, None] + lj[None, None], 0, w - 1)
+    windows = x[:, :, jnp.asarray(ii), jnp.asarray(jj)]
+    return reduce_fn(windows.reshape(b, c, hn, wn, grid_h * grid_w))
+
+
+def hex_global_pool2d(x, method: str):
+    """Global pooling over flattened spatial dims (``HexFrames.py:402-414``)."""
+    x = jnp.asarray(x)
+    while x.ndim < 4:
+        x = x[None]
+    b, c = x.shape[:2]
+    return _reduction(method)(x.reshape(b, c, -1))

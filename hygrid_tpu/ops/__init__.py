@@ -1,0 +1,34 @@
+"""Geometry, resampling, padding and format-conversion ops (layer L2)."""
+from .geometry import (
+    image_geometric_transformation,
+    hex_to_rect_resample,
+    rect_to_hex_resample,
+    hexresize,
+    warp_output_shape,
+)
+from .pad import heximpad, hex_impad_to_multiple
+from .convert import (
+    heximage_to_type1,
+    heximage_to_type2,
+    type1_to_heximage,
+    type2_to_heximage,
+)
+from .sampling import SamplePlan, hex_sample_plan, rect_sample_plan, apply_plan
+
+__all__ = [
+    "image_geometric_transformation",
+    "hex_to_rect_resample",
+    "rect_to_hex_resample",
+    "hexresize",
+    "warp_output_shape",
+    "heximpad",
+    "hex_impad_to_multiple",
+    "heximage_to_type1",
+    "heximage_to_type2",
+    "type1_to_heximage",
+    "type2_to_heximage",
+    "SamplePlan",
+    "hex_sample_plan",
+    "rect_sample_plan",
+    "apply_plan",
+]

@@ -1,0 +1,224 @@
+"""Public geometry / resampling API (layer L2).
+
+TPU-native rebuild of the reference's three duplicated geometry backends
+(``geometry_np.py``, ``geometry_torch.py``, ``geometry.py`` — ~1,900 LoC of
+near-identical math) as thin coordinate generators over the single engine in
+:mod:`hygrid_tpu.ops.sampling`.
+
+Output sizes and sample grids reproduce the reference's idiosyncratic
+conventions exactly (each function's corner-box constants differ — see
+``lattice.corner_box``).  Known reference bugs are fixed, not reproduced
+(SURVEY.md section 4 item 3); divergences are listed in each docstring.
+
+All transforms here are *static*: output shape and the gather plan are
+computed in float64 numpy at trace time and cached, so the on-device op is a
+single fused gather+blend over all channels/batches.  Coordinate precision
+therefore matches the float64 numpy reference bit-for-bit; only the final
+value blend runs in float32.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from .. import lattice
+from . import sampling
+
+__all__ = [
+    "image_geometric_transformation",
+    "hex_to_rect_resample",
+    "rect_to_hex_resample",
+    "hexresize",
+    "warp_output_shape",
+]
+
+_PLAN_CACHE: dict = {}
+_PLAN_CACHE_MAX = 256
+
+
+def _cached_plan(key, builder):
+    plan = _PLAN_CACHE.get(key)
+    if plan is None:
+        if len(_PLAN_CACHE) >= _PLAN_CACHE_MAX:
+            _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
+        plan = builder()
+        _PLAN_CACHE[key] = plan
+    return plan
+
+
+def _split_channels(img):
+    """Accept (H, W), (C, H, W) or (..., C, H, W); return (array, had_channel)."""
+    img = jnp.asarray(img)
+    if img.ndim < 2:
+        raise ValueError(f"dim of image should be >= 2, but got dim = {img.ndim} instead")
+    return img, img.ndim >= 3
+
+
+def _ref_squeeze(out, in_ndim):
+    """Reference returns ``transpose(...).squeeze()`` — all unit axes squeezed
+    for <=3-D inputs (``geometry_np.py:189``). Batched inputs are an
+    extension and are never squeezed."""
+    if in_ndim <= 3:
+        return jnp.squeeze(out)
+    return out
+
+
+def warp_output_shape(h: int, w: int, H=None) -> Tuple[int, int]:
+    """Output (h1, w1) of :func:`image_geometric_transformation`.
+
+    Derived from the transformed corner box exactly as
+    ``geometry_np.py:56-93`` (float ``arange`` lengths included).
+    """
+    H = np.eye(3) if H is None else np.asarray(H, dtype=np.float64)
+    h_inf, h_sup, w_inf, w_sup = lattice.corner_box("warp", h, w)
+    corners = np.array([
+        [h_inf, h_inf, h_sup, h_sup],
+        [w_inf, w_sup, w_inf, w_sup],
+        [1.0, 1.0, 1.0, 1.0],
+    ])
+    nc = H @ corners
+    h1_inf, h1_sup = nc[0].min(), nc[0].max()
+    w1_inf, w1_sup = nc[1].min(), nc[1].max()
+    return (len(np.arange(h1_inf, h1_sup + 1, 1.0)),
+            len(np.arange(w1_inf, w1_sup + 0.5, 1.0)))
+
+
+def _warp_grid(h: int, w: int, H: np.ndarray):
+    """Output brick-wall sample grid for the affine warp, inverse-mapped into
+    source Cartesian coordinates.  Mirrors ``geometry_np.py:53-107``
+    (including: no homogeneous z-renormalisation after ``inv(H)`` — only
+    affine H with last row (0,0,1) is meaningful, as in the reference)."""
+    h_inf, h_sup, w_inf, w_sup = lattice.corner_box("warp", h, w)
+    corners = np.array([
+        [h_inf, h_inf, h_sup, h_sup],
+        [w_inf, w_sup, w_inf, w_sup],
+        [1.0, 1.0, 1.0, 1.0],
+    ])
+    nc = H @ corners
+    h1_inf, h1_sup = nc[0].min(), nc[0].max()
+    w1_inf, w1_sup = nc[1].min(), nc[1].max()
+    hh = np.arange(h1_inf, h1_sup + 1, 1.0)
+    ww = np.arange(w1_inf, w1_sup + 0.5, 1.0)
+    gx, gy = np.meshgrid(hh, ww, indexing="ij")
+    gy = gy.copy()
+    gy[1::2] += 0.5  # output rows interleave: output offset is always 0
+    ones = np.ones_like(gx)
+    inv = np.linalg.inv(H)
+    pts = np.einsum("ij,jkl->ikl", inv, np.stack([gx, gy, ones], axis=0))
+    return pts[0], pts[1]
+
+
+def image_geometric_transformation(img, H=None, interpolation: str = "nearest",
+                                   offset: int = 0):
+    """Hex->hex warp by a 3x3 homogeneous matrix.
+
+    Rebuild of ``geometry_np.py:6-189`` / ``geometry_torch.py:7-295`` /
+    ``geometry.py:156-262`` (all three collapsed).
+
+    Divergences from the reference (documented per SURVEY.md section 4):
+      * ``interpolation='nearest'`` works (the reference's branch raises on a
+        tuple-unpack of ``np.min``, ``geometry_np.py:172``); implemented as
+        argmin of vertex distances.
+      * ``interpolation='bilinear'`` raises ``NotImplementedError`` loudly
+        instead of silently falling through with uninitialised memory.
+      * ``offset`` is accepted for API parity; like the reference, the
+        sampling math assumes an offset-0 source (the reference's shifted
+        ``imgcoor`` is dead code, ``geometry_np.py:29-46``).
+    """
+    if interpolation == "bilinear":
+        raise NotImplementedError(
+            "'bilinear' is declared but unimplemented in the reference "
+            "(geometry_np.py:15, method 2 has no branch); use 'linear'.")
+    img, _ = _split_channels(img)
+    h, w = img.shape[-2:]
+    Hm = np.eye(3) if H is None else np.asarray(H, dtype=np.float64)
+    key = ("warp", h, w, interpolation, Hm.tobytes())
+    plan = _cached_plan(key, lambda: sampling.hex_sample_plan(
+        *_warp_grid(h, w, Hm), h, w, interpolation))
+    return _ref_squeeze(sampling.apply_plan(img, plan), img.ndim)
+
+
+def _linspace_grid(box, h1: int, w1: int, hex_grid_shift: bool = False):
+    h_inf, h_sup, w_inf, w_sup = box
+    gx, gy = np.meshgrid(np.linspace(h_inf, h_sup, h1),
+                         np.linspace(w_inf, w_sup, w1), indexing="ij")
+    if hex_grid_shift:
+        gy = gy.copy()
+        step = (w_sup - w_inf) / (w1 - 1) if w1 > 1 else 0.0
+        gy[1::2] += 0.5 * step
+    return gx, gy
+
+
+def hex_to_rect_resample(hex_image, rect_dsize: Optional[Tuple[int, int]] = None,
+                         interpolation: str = "nearest", offset: int = 0):
+    """Resample a hex image onto a rect grid spanning its extent.
+
+    Rebuild of ``geometry_np.py:191-356`` (= torch ``hex_to_square_resample``,
+    ``geometry_torch.py:296-446``).  Same divergences as
+    :func:`image_geometric_transformation`.
+    """
+    if interpolation == "bilinear":
+        raise NotImplementedError(
+            "'bilinear' maps to an unimplemented method in the reference; "
+            "use 'linear'.")
+    img, _ = _split_channels(hex_image)
+    h, w = img.shape[-2:]
+    h1, w1 = (h, w) if rect_dsize is None else tuple(rect_dsize)
+    key = ("hex_to_rect", h, w, h1, w1, interpolation)
+    plan = _cached_plan(key, lambda: sampling.hex_sample_plan(
+        *_linspace_grid(lattice.corner_box("hex_to_rect", h, w), h1, w1),
+        h, w, interpolation))
+    return _ref_squeeze(sampling.apply_plan(img, plan), img.ndim)
+
+
+def rect_to_hex_resample(rect_image, hex_dsize: Optional[Tuple[int, int]] = None,
+                         interpolation: str = "nearest", offset: int = 0,
+                         hex_grid_shift: bool = False,
+                         nearest_metric: str = "reference"):
+    """Resample a rect image onto a hex-lattice-sized grid.
+
+    Rebuild of ``geometry_np.py:358-519``.
+
+    Note: the reference samples a PLAIN rectangular point grid — it never
+    applies the odd-row half-cell shift to the output sample positions
+    (``geometry_np.py:415-422``), even though the result is then treated as a
+    brick-wall hex image.  Default behaviour replicates this for parity;
+    pass ``hex_grid_shift=True`` for geometrically honest hex sampling
+    (documented divergence toggle).
+    """
+    img, _ = _split_channels(rect_image)
+    h, w = img.shape[-2:]
+    h1, w1 = (h, w) if hex_dsize is None else tuple(hex_dsize)
+    key = ("rect_to_hex", h, w, h1, w1, interpolation, hex_grid_shift,
+           nearest_metric)
+    plan = _cached_plan(key, lambda: sampling.rect_sample_plan(
+        *_linspace_grid(lattice.corner_box("rect_source", h, w), h1, w1,
+                        hex_grid_shift),
+        h, w, interpolation, nearest_metric=nearest_metric))
+    return _ref_squeeze(sampling.apply_plan(img, plan), img.ndim)
+
+
+def hexresize(image, dsize: Tuple[int, int], interpolation: str = "linear",
+              offset: int = 0):
+    """Hex->hex rescale to ``dsize``.
+
+    Rebuild of ``geometry_np.py:520-681`` (the numba host ``hexresize`` at
+    ``geometry.py:437-522`` is broken — undefined ``offset``/``hex_image`` —
+    and is superseded by this).  Like the reference, the output grid is a
+    plain linspace lattice without the odd-row shift.
+    """
+    if interpolation == "bilinear":
+        raise NotImplementedError(
+            "'bilinear' is not a hexresize mode (the reference silently "
+            "returns uninitialised memory for it, geometry_np.py:658-679); "
+            "use 'linear'.")
+    img, _ = _split_channels(image)
+    h, w = img.shape[-2:]
+    h1, w1 = tuple(dsize)
+    key = ("hexresize", h, w, h1, w1, interpolation)
+    plan = _cached_plan(key, lambda: sampling.hex_sample_plan(
+        *_linspace_grid(lattice.corner_box("hexresize", h, w), h1, w1),
+        h, w, interpolation))
+    return _ref_squeeze(sampling.apply_plan(img, plan), img.ndim)

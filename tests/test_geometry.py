@@ -1,0 +1,197 @@
+"""Parity tests for the L2 geometry/resampling ops.
+
+Two layers of evidence:
+  * goldens frozen from the reference's working numpy paths
+    (``tests/tools/make_goldens.py``);
+  * an independent per-pixel oracle (``tests/oracle.py``) covering paths the
+    reference cannot execute (hex-source 'nearest').
+"""
+import os
+
+import numpy as np
+import pytest
+
+import hygrid_tpu as hg
+
+GOLDENS = os.path.join(os.path.dirname(__file__), "goldens", "geometry_goldens.npz")
+
+TOL = 5e-6  # f32 device math vs f64 reference on O(1) data
+
+
+@pytest.fixture(scope="module")
+def g():
+    return np.load(GOLDENS)
+
+
+class TestGoldenParity:
+    def test_rect_to_hex_nearest(self, g):
+        out = np.asarray(hg.rect_to_hex_resample(g["img_a"], (9, 15), "nearest"))
+        np.testing.assert_allclose(out, g["r2h_nearest"], atol=TOL)
+
+    def test_rect_to_hex_bilinear(self, g):
+        out = np.asarray(hg.rect_to_hex_resample(g["img_a"], (9, 15), "bilinear"))
+        np.testing.assert_allclose(out, g["r2h_bilinear"], atol=TOL)
+
+    def test_hexresize_linear(self, g):
+        out = np.asarray(hg.hexresize(g["img_a"], (23, 11), "linear"))
+        np.testing.assert_allclose(out, g["resize_linear"], atol=TOL)
+
+    def test_hex_to_rect_linear(self, g):
+        out = np.asarray(hg.hex_to_rect_resample(g["img_a"], (14, 19), "linear"))
+        np.testing.assert_allclose(out, g["h2r_linear"], atol=TOL)
+
+    def test_warp_scale_linear(self, g):
+        out = np.asarray(hg.image_geometric_transformation(g["img_a"], g["warp_H"], "linear"))
+        np.testing.assert_allclose(out, g["warp_linear"], atol=TOL)
+
+    def test_warp_general_affine_linear(self, g):
+        out = np.asarray(hg.image_geometric_transformation(g["img_a"], g["warp_Hr"], "linear"))
+        np.testing.assert_allclose(out, g["warp_rot_linear"], atol=TOL)
+
+    def test_rect_to_hex_2d_input_squeezed(self, g):
+        """2-D input works here (the reference's own 2-D path crashes on a
+        transpose, geometry_np.py:365-389 — fixed divergence) and matches
+        the 3-D path."""
+        img2d = g["img_a"][0]
+        out = np.asarray(hg.rect_to_hex_resample(img2d, (8, 6), "bilinear"))
+        ref3d = np.asarray(hg.rect_to_hex_resample(img2d[None], (8, 6), "bilinear"))
+        assert out.shape == (8, 6)
+        np.testing.assert_allclose(out, ref3d, atol=TOL)
+
+    def test_rect_to_hex_uint8_nearest_exact(self, g):
+        out = np.asarray(hg.rect_to_hex_resample(g["img_u8"], (9, 15), "nearest"))
+        assert out.dtype == np.uint8
+        np.testing.assert_array_equal(out, g["r2h_u8_nearest"].astype(np.uint8))
+
+
+class TestOracleParity:
+    """Cross-check against the independent loop oracle, including paths the
+    reference itself cannot run (its hex 'nearest' raises,
+    geometry_np.py:172)."""
+
+    @pytest.fixture(scope="class")
+    def img(self):
+        return np.random.default_rng(7).random((2, 11, 8))
+
+    @pytest.mark.parametrize("method", ["nearest", "linear"])
+    def test_hexresize(self, img, method):
+        from oracle import hexresize_oracle
+        out = np.asarray(hg.hexresize(img, (15, 6), method))
+        np.testing.assert_allclose(out, hexresize_oracle(img, (15, 6), method), atol=TOL)
+
+    @pytest.mark.parametrize("method", ["nearest", "linear"])
+    def test_hex_to_rect(self, img, method):
+        from oracle import hex_to_rect_oracle
+        out = np.asarray(hg.hex_to_rect_resample(img, (9, 13), method))
+        np.testing.assert_allclose(out, hex_to_rect_oracle(img, (9, 13), method), atol=TOL)
+
+    @pytest.mark.parametrize("method", ["nearest", "linear"])
+    def test_warp(self, img, method):
+        from oracle import warp_oracle
+        H = np.array([[1.3, 0.1, 0.5], [-0.2, 0.9, -1.0], [0.0, 0.0, 1.0]])
+        out = np.asarray(hg.image_geometric_transformation(img, H, method))
+        np.testing.assert_allclose(out, warp_oracle(img, H, method), atol=TOL)
+
+
+class TestProperties:
+    def test_identity_resize_roundtrip(self):
+        """Resizing a hex image to its own size ~ identity away from edges."""
+        rng = np.random.default_rng(3)
+        img = rng.random((1, 32, 32))
+        out = np.asarray(hg.hexresize(img, (32, 32), "linear"))
+        assert out.shape == (32, 32)
+
+    def test_rect_hex_rect_roundtrip_close(self):
+        """rect -> hex (2x dense) -> rect recovers a smooth image closely."""
+        h = w = 48
+        yy, xx = np.mgrid[0:h, 0:w] / h
+        img = (np.sin(4 * xx) * np.cos(3 * yy))[None]
+        hexed = hg.rect_to_hex_resample(img, (h, w), "bilinear")
+        back = np.asarray(hg.hex_to_rect_resample(hexed[None], (h, w), "linear"))
+        interior = (slice(4, -4), slice(4, -4))
+        assert np.abs(back[interior] - img[0][interior]).mean() < 0.02
+
+    def test_warp_output_shape_helper(self):
+        H = np.array([[1.6, 0.0, 0.0], [0.0, 0.7, 0.0], [0.0, 0.0, 1.0]])
+        out = np.asarray(hg.image_geometric_transformation(
+            np.zeros((1, 17, 13)), H, "linear"))
+        assert out.shape == hg.warp_output_shape(17, 13, H)
+
+    def test_batched_inputs(self):
+        """(B, C, H, W) batching is an extension over the reference."""
+        rng = np.random.default_rng(5)
+        batch = rng.random((4, 3, 16, 12))
+        out = np.asarray(hg.rect_to_hex_resample(batch, (8, 6), "bilinear"))
+        assert out.shape == (4, 3, 8, 6)
+        single = np.asarray(hg.rect_to_hex_resample(batch[2], (8, 6), "bilinear"))
+        np.testing.assert_allclose(out[2], single, atol=1e-6)
+
+    def test_bilinear_unimplemented_raises(self):
+        with pytest.raises(NotImplementedError):
+            hg.hexresize(np.zeros((1, 8, 8)), (4, 4), "bilinear")
+        with pytest.raises(NotImplementedError):
+            hg.hex_to_rect_resample(np.zeros((1, 8, 8)), (4, 4), "bilinear")
+
+    def test_grad_flows_through_resample(self):
+        import jax
+        import jax.numpy as jnp
+        img = jnp.ones((1, 8, 8))
+
+        def loss(x):
+            return jnp.sum(hg.hexresize(x, (12, 12), "linear") ** 2)
+
+        grad = jax.grad(loss)(img)
+        assert grad.shape == img.shape
+        assert bool(jnp.any(grad != 0))
+
+
+class TestPadding:
+    def test_heximpad_parity_rule(self):
+        img = np.arange(24, dtype=np.float32).reshape(4, 6)
+        out = np.asarray(hg.heximpad(img, padding=(1, 3, 2, 1)))
+        # top = 3 - 3%2 = 2, bottom = 1 + 1 = 2, left 1, right 2
+        assert out.shape == (4 + 2 + 2, 6 + 1 + 2)
+        np.testing.assert_array_equal(out[2:6, 1:7], img)
+
+    def test_heximpad_shape_mode(self):
+        img = np.ones((5, 7))
+        out = np.asarray(hg.heximpad(img, shape=(8, 8)))
+        assert out.shape == (8, 8)
+
+    def test_hex_impad_to_multiple(self):
+        img = np.ones((5, 7))
+        out = np.asarray(hg.hex_impad_to_multiple(img, 4))
+        assert out.shape == (8, 8)
+
+    def test_heximpad_modes(self):
+        img = np.arange(12, dtype=np.float32).reshape(3, 4)
+        for mode in ["constant", "edge", "reflect", "symmetric"]:
+            out = np.asarray(hg.heximpad(img, padding=2, padding_mode=mode))
+            assert out.shape == (7, 8)
+
+
+class TestConvert:
+    def test_type1_roundtrip(self):
+        rng = np.random.default_rng(11)
+        x = rng.random((2, 3, 6, 5)).astype(np.float32)
+        for off in (0, 1):
+            t1 = hg.heximage_to_type1(x, off)
+            assert t1.shape == (2, 3, 6, 11)
+            back, off2 = hg.type1_to_heximage(t1, off)
+            assert off2 == off
+            np.testing.assert_allclose(np.asarray(back), x)
+
+    def test_type1_layout(self):
+        x = np.arange(1, 7, dtype=np.float32).reshape(1, 1, 2, 3)
+        t1 = np.asarray(hg.heximage_to_type1(x, 0))[0, 0]
+        # offset 0: row 0 unindented (append zero), row 1 indented
+        np.testing.assert_allclose(t1[0], [1, 1, 2, 2, 3, 3, 0])
+        np.testing.assert_allclose(t1[1], [0, 4, 4, 5, 5, 6, 6])
+
+    def test_type2_roundtrip(self):
+        rng = np.random.default_rng(12)
+        x = rng.random((1, 1, 4, 3)).astype(np.float32)
+        t2 = hg.heximage_to_type2(x, 1)
+        assert t2.shape == (1, 1, 8, 7)
+        back, _ = hg.type2_to_heximage(t2, 1)
+        np.testing.assert_allclose(np.asarray(back), x)
