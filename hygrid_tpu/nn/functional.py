@@ -279,6 +279,33 @@ def hex_conv2d(x, kernel, bias=None, *, even_odd_offset: int = 0,
     raise ValueError(f"unknown impl {impl!r}")
 
 
+def hex_conv2d_adaptive_padding(x, kernel, bias=None, *, even_odd_offset: int = 0,
+                                radius: int, stride: int = 1, dilation: int = 1,
+                                groups: int = 1, impl: str = "direct"):
+    """TF-"same"-style hex conv (``HexFrames.py:232-253``).
+
+    Pads asymmetrically so ``output_h = ceil(h / stride)`` (note the
+    reference's width rule uses ``output_w`` not ``output_w - 1`` — kept).
+    Like the reference, the row-parity handed to the conv ignores the rows
+    added on top (``padded_even_odd_offset`` is computed before this pad).
+    """
+    x = jnp.asarray(x)
+    while x.ndim < 4:
+        x = x[None]
+    h, w = x.shape[-2:]
+    ks = 2 * radius - 1
+    out_h = math.ceil(h / stride)
+    out_w = math.ceil(w / stride)
+    pad_h = max((out_h - 1) * stride + (ks - 1) * dilation + 1 - h, 0)
+    pad_w = max(out_w * stride + (ks - 1) * dilation + 1 - w, 0)
+    if pad_h > 0 or pad_w > 0:
+        x = pad2d(x, (pad_w // 2, pad_w - pad_w // 2,
+                      pad_h // 2, pad_h - pad_h // 2))
+    return hex_conv2d(x, kernel, bias, even_odd_offset=even_odd_offset,
+                      radius=radius, stride=stride, padding=0,
+                      dilation=dilation, groups=groups, impl=impl)
+
+
 # --------------------- cell statistical properties ---------------------
 # NaN-aware reductions (HexFrames.py:461-479)
 
