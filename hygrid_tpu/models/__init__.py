@@ -1,0 +1,23 @@
+"""Built-in hex model families and training utilities."""
+from .hexcnn import HexCNN, HexConvNeXtBlock, hexcnn_small, hexcnn_tiny
+from .train import (
+    TrainState,
+    create_train_state,
+    train_step,
+    eval_step,
+    hexify_batch,
+    synthetic_hex_cifar,
+)
+
+__all__ = [
+    "HexCNN",
+    "HexConvNeXtBlock",
+    "hexcnn_small",
+    "hexcnn_tiny",
+    "TrainState",
+    "create_train_state",
+    "train_step",
+    "eval_step",
+    "hexify_batch",
+    "synthetic_hex_cifar",
+]

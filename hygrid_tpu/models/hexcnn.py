@@ -1,0 +1,99 @@
+"""Flagship HexCNN image classifier.
+
+The reference ships no models (its layers are consumed by external
+mmsegmentation configs, ``HexModules.py:16``); this is the framework's
+built-in demonstration model family covering the BASELINE.json config
+"small HexCNN (HexConv/HexPool stack from HexModules) classifying
+hex-resampled CIFAR-10".
+
+Everything is channel-first (B, C, H, W) on brick-wall hex storage with
+offset 0 (the output convention of ``rect_to_hex_resample``).
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..nn.modules import HexConvModule
+from ..nn import functional as F
+
+__all__ = ["HexCNN", "HexConvNeXtBlock", "hexcnn_small", "hexcnn_tiny"]
+
+
+class HexCNN(nn.Module):
+    """HexConvModule / HexPool stack -> global pool -> linear head.
+
+    Args:
+        num_classes: classifier width.
+        channels: feature width per stage; each stage is ``depth`` conv
+            modules followed by a stride-2 hex max-pool.
+        depth: conv modules per stage.
+        radius: hex kernel radius.
+        norm: norm cfg type for HexConvModule ("BN", "GN", ...) or None.
+    """
+
+    num_classes: int = 10
+    channels: Sequence[int] = (32, 64, 128)
+    depth: int = 2
+    radius: int = 2
+    norm: str = "BN"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = jnp.asarray(x, self.dtype)
+        cin = x.shape[1]
+        norm_cfg = dict(type=self.norm) if self.norm else None
+        for stage, width in enumerate(self.channels):
+            for d in range(self.depth):
+                x = HexConvModule(
+                    in_channels=cin, out_channels=width,
+                    even_odd_offset=0, hexkernel_radius=self.radius,
+                    padding=self.radius - 1, norm_cfg=norm_cfg,
+                    name=f"stage{stage}_conv{d}")(x, train=train)
+                cin = width
+            if stage != len(self.channels) - 1:
+                x = F.hex_pool2d(x, "max", kernel_size=2, stride=2)
+        x = F.hex_global_pool2d(x, "average")
+        x = nn.Dense(self.num_classes, dtype=self.dtype, name="head")(x)
+        return x
+
+
+class HexConvNeXtBlock(nn.Module):
+    """Depthwise hex conv -> LN -> pointwise MLP residual block: the
+    ConvNeXt pattern transplanted onto the hex lattice.  Pointwise convs are
+    plain matmuls (pure MXU work), so only the cheap depthwise conv pays the
+    hex-lattice tax."""
+
+    width: int
+    radius: int = 3
+    expand: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, c, h, w = x.shape
+        residual = x
+        kernel = self.param(
+            "dw_kernel", nn.initializers.truncated_normal(0.02),
+            (c, 1, F.hex_kernel_num(self.radius)), self.dtype)
+        x = F.hex_conv2d(x, kernel, even_odd_offset=0, radius=self.radius,
+                         padding=self.radius - 1, groups=c)
+        x = jnp.moveaxis(x, 1, -1)
+        x = nn.LayerNorm(dtype=self.dtype)(x)
+        x = nn.Dense(self.expand * self.width, dtype=self.dtype)(x)
+        x = nn.gelu(x)
+        x = nn.Dense(self.width, dtype=self.dtype)(x)
+        x = jnp.moveaxis(x, -1, 1)
+        return x + residual
+
+
+def hexcnn_tiny(num_classes: int = 10, **kw) -> HexCNN:
+    return HexCNN(num_classes=num_classes, channels=(16, 32), depth=1, **kw)
+
+
+def hexcnn_small(num_classes: int = 10, **kw) -> HexCNN:
+    return HexCNN(num_classes=num_classes, channels=(32, 64, 128), depth=2, **kw)

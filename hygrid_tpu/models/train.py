@@ -1,0 +1,118 @@
+"""Training utilities for hex models: train state, steps, data pipeline.
+
+The reference has no training loop (README defers the experiment code to an
+unpublished paper, ``README.md:4-5``); this provides the standard JAX
+recipe: a flax TrainState carrying batch stats, jitted train/eval steps that
+shard cleanly over a device mesh, and a batched rect->hex input pipeline
+built on the fused resampling plans.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+from flax.training import train_state
+
+from ..ops import geometry
+
+__all__ = [
+    "TrainState",
+    "create_train_state",
+    "train_step",
+    "eval_step",
+    "hexify_batch",
+    "synthetic_hex_cifar",
+]
+
+
+class TrainState(train_state.TrainState):
+    batch_stats: Any = None
+
+
+def create_train_state(model, rng, sample_input, tx=None,
+                       learning_rate: float = 1e-3) -> TrainState:
+    if tx is None:
+        tx = optax.adamw(learning_rate)
+    variables = model.init(rng, sample_input, train=False)
+    return TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats"),
+        tx=tx)
+
+
+def _forward(state: TrainState, params, images, train: bool):
+    variables = {"params": params}
+    if state.batch_stats is not None:
+        variables["batch_stats"] = state.batch_stats
+        if train:
+            logits, updates = state.apply_fn(
+                variables, images, train=True, mutable=["batch_stats"])
+            return logits, updates["batch_stats"]
+        logits = state.apply_fn(variables, images, train=False)
+        return logits, state.batch_stats
+    logits = state.apply_fn(variables, images, train=train)
+    return logits, None
+
+
+def train_step(state: TrainState, images, labels):
+    """One optimization step. Pure; jit (optionally over a mesh) outside."""
+
+    def loss_fn(params):
+        logits, new_stats = _forward(state, params, images, train=True)
+        loss = optax.softmax_cross_entropy_with_integer_labels(
+            logits, labels).mean()
+        return loss, (logits, new_stats)
+
+    (loss, (logits, new_stats)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(state.params)
+    state = state.apply_gradients(grads=grads)
+    if new_stats is not None:
+        state = state.replace(batch_stats=new_stats)
+    acc = jnp.mean(jnp.argmax(logits, -1) == labels)
+    return state, {"loss": loss, "accuracy": acc}
+
+
+def eval_step(state: TrainState, images, labels):
+    logits, _ = _forward(state, state.params, images, train=False)
+    loss = optax.softmax_cross_entropy_with_integer_labels(
+        logits, labels).mean()
+    acc = jnp.mean(jnp.argmax(logits, -1) == labels)
+    return {"loss": loss, "accuracy": acc}
+
+
+def hexify_batch(images, hex_size: Optional[Tuple[int, int]] = None,
+                 interpolation: str = "bilinear"):
+    """rect (B, C, H, W) -> hex (B, C, h, w) through the fused resample plan.
+
+    Default target is (H//2, W//2), matching ``IMAGE.ConvertToHexagon``
+    (``Image.py:111-116``).  jit/vmap-safe; one gather for the whole batch.
+    """
+    images = jnp.asarray(images)
+    h, w = images.shape[-2:]
+    if hex_size is None:
+        hex_size = (h // 2, w // 2)
+    return geometry.rect_to_hex_resample(images, hex_size, interpolation)
+
+
+def synthetic_hex_cifar(rng: np.random.Generator, n: int, *,
+                        num_classes: int = 10, size: int = 32):
+    """Deterministic CIFAR-like synthetic data (class-dependent oriented
+    gratings + noise), hexified to (size//2, size//2).  Stands in for
+    CIFAR-10 in tests/benches since the build environment has no dataset
+    egress; the pipeline is identical for real data."""
+    labels = rng.integers(0, num_classes, n)
+    yy, xx = np.mgrid[0:size, 0:size] / size
+    images = np.zeros((n, 3, size, size), np.float32)
+    for k in range(num_classes):
+        sel = labels == k
+        angle = np.pi * k / num_classes
+        wave = np.sin(2 * np.pi * (np.cos(angle) * xx + np.sin(angle) * yy)
+                      * (2 + k % 3))
+        images[sel] = wave[None]
+    images += rng.normal(0, 0.3, images.shape).astype(np.float32)
+    hexed = np.asarray(hexify_batch(images))
+    return jnp.asarray(hexed), jnp.asarray(labels)

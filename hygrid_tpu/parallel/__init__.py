@@ -1,0 +1,15 @@
+"""Mesh/sharding layer: dp/sp/tp over TPU ICI."""
+from .mesh import P, create_mesh, shard_batch, replicate, batch_spec, spatial_spec
+from .spatial import halo_exchange, sharded_hex_conv2d, sharded_hex_conv2d_fn
+
+__all__ = [
+    "P",
+    "create_mesh",
+    "shard_batch",
+    "replicate",
+    "batch_spec",
+    "spatial_spec",
+    "halo_exchange",
+    "sharded_hex_conv2d",
+    "sharded_hex_conv2d_fn",
+]

@@ -1,0 +1,188 @@
+"""Tests for the model family, training utilities, module system, and the
+mesh/sharding layer (runs on 8 virtual CPU devices, conftest.py)."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+import hygrid_tpu.nn as hnn
+from hygrid_tpu.nn import functional as F
+from hygrid_tpu.nn.modules import (
+    HexConvModule, build_hexconv_layer, build_hexnorm_layer,
+    build_hexactivation_layer, build_hexpadding_layer, CONV_LAYERS)
+from hygrid_tpu.models import (
+    hexcnn_tiny, HexConvNeXtBlock, create_train_state, train_step, eval_step,
+    hexify_batch, synthetic_hex_cifar)
+from hygrid_tpu import parallel
+
+
+class TestModules:
+    def test_cfg_builders_api(self):
+        assert "HexConv2d" in CONV_LAYERS
+        conv = build_hexconv_layer(dict(type="HexConv2d"), 3, 6, 0, 2, bias=False)
+        assert conv.use_bias is False and conv.out_channels == 6
+        name, _ = build_hexnorm_layer(dict(type="BN"), 8, postfix=2)
+        assert name == "bn2"
+        act = build_hexactivation_layer(dict(type="LeakyReLU", negative_slope=0.2))
+        np.testing.assert_allclose(np.asarray(act(jnp.array([-1.0]))), [-0.2])
+        padf = build_hexpadding_layer(dict(type="zero"), 1)
+        assert padf(jnp.ones((1, 1, 4, 4))).shape == (1, 1, 6, 6)
+
+    def test_bad_cfgs_raise(self):
+        with pytest.raises(KeyError):
+            build_hexconv_layer(dict(type="Nope"), 3, 6, 0, 2)
+        with pytest.raises(KeyError):
+            build_hexnorm_layer(dict(type="Nope"), 8)
+        with pytest.raises(TypeError):
+            build_hexactivation_layer("ReLU")
+
+    def test_convmodule_default_relu(self):
+        m = HexConvModule(in_channels=3, out_channels=4, even_odd_offset=0,
+                          hexkernel_radius=2, padding=1)
+        x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 3, 10, 10)),
+                        jnp.float32)
+        p = m.init(jax.random.key(0), x)
+        out = m.apply(p, x)
+        assert float(out.min()) >= 0  # ReLU applied by default
+
+    def test_convmodule_bias_auto(self):
+        m = HexConvModule(in_channels=3, out_channels=4, even_odd_offset=0,
+                          hexkernel_radius=1, norm_cfg=dict(type="BN"))
+        p = m.init(jax.random.key(0), jnp.ones((1, 3, 8, 8)))
+        assert "bias" not in p["params"]["conv"]  # bias off before norm
+        m2 = HexConvModule(in_channels=3, out_channels=4, even_odd_offset=0,
+                           hexkernel_radius=1)
+        p2 = m2.init(jax.random.key(0), jnp.ones((1, 3, 8, 8)))
+        assert "bias" in p2["params"]["conv"]
+
+    def test_convmodule_orders_and_norms(self):
+        x = jnp.asarray(np.random.default_rng(1).normal(size=(2, 4, 12, 12)),
+                        jnp.float32)
+        for norm in ["BN", "GN", "LN", "IN", "SyncBN"]:
+            cfg = dict(type=norm, num_groups=2) if norm == "GN" else dict(type=norm)
+            m = HexConvModule(in_channels=4, out_channels=4, even_odd_offset=0,
+                              hexkernel_radius=1, norm_cfg=cfg,
+                              order=("norm", "conv", "act"))
+            variables = m.init(jax.random.key(0), x)
+            if norm in ("BN", "SyncBN"):
+                out, _ = m.apply(variables, x, train=True,
+                                 mutable=["batch_stats"])
+            else:
+                out = m.apply(variables, x)
+            assert out.shape[1] == 4
+
+    def test_spectral_norm_bounds_kernel(self):
+        m = HexConvModule(in_channels=3, out_channels=4, even_odd_offset=0,
+                          hexkernel_radius=1, with_spectral_norm=True)
+        x = jnp.ones((1, 3, 8, 8))
+        v = m.init(jax.random.key(0), x)
+        out, _ = m.apply(v, x, train=True, mutable=["batch_stats"])
+        assert out.shape == (1, 4, 8, 8)
+
+
+class TestModels:
+    def test_hexcnn_forward_and_train(self):
+        rng = np.random.default_rng(0)
+        x, y = synthetic_hex_cifar(rng, 16)
+        assert x.shape == (16, 3, 16, 16)
+        model = hexcnn_tiny()
+        state = create_train_state(model, jax.random.key(0), x[:2])
+        step = jax.jit(train_step)
+        losses = []
+        for _ in range(5):
+            state, metrics = step(state, x, y)
+            losses.append(float(metrics["loss"]))
+        assert losses[-1] < losses[0]
+        ev = jax.jit(eval_step)(state, x, y)
+        assert 0 <= float(ev["accuracy"]) <= 1
+
+    def test_hexconvnext_block(self):
+        m = HexConvNeXtBlock(width=8)
+        x = jnp.asarray(np.random.default_rng(2).normal(size=(2, 8, 12, 12)),
+                        jnp.float32)
+        p = m.init(jax.random.key(0), x)
+        out = m.apply(p, x)
+        assert out.shape == x.shape
+
+    def test_hexify_batch_default_half(self):
+        x = jnp.ones((4, 3, 32, 32))
+        out = hexify_batch(x)
+        assert out.shape == (4, 3, 16, 16)
+
+
+class TestParallel:
+    def test_create_mesh_and_shard(self):
+        mesh = parallel.create_mesh({"dp": 4, "sp": 2})
+        assert mesh.shape == {"dp": 4, "sp": 2}
+        x = jnp.ones((8, 3, 16, 16))
+        xs = parallel.shard_batch(x, mesh)
+        assert xs.sharding.spec == parallel.batch_spec(mesh)
+
+    def test_data_parallel_train_step_matches_single(self):
+        rng = np.random.default_rng(0)
+        x, y = synthetic_hex_cifar(rng, 8)
+        model = hexcnn_tiny(norm=None)
+        state = create_train_state(model, jax.random.key(0), x[:2])
+
+        ref_state, ref_metrics = jax.jit(train_step)(state, x, y)
+
+        mesh = parallel.create_mesh({"dp": 8})
+        xs = parallel.shard_batch(x, mesh)
+        ys = jax.device_put(
+            y, jax.sharding.NamedSharding(mesh, parallel.P("dp")))
+        state_r = jax.tree_util.tree_map(lambda a: a, state)
+        dp_state, dp_metrics = jax.jit(train_step)(state_r, xs, ys)
+        np.testing.assert_allclose(float(dp_metrics["loss"]),
+                                   float(ref_metrics["loss"]), rtol=1e-5)
+        lhs = jax.tree_util.tree_leaves(dp_state.params)
+        rhs = jax.tree_util.tree_leaves(ref_state.params)
+        for a, b in zip(lhs, rhs):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    def test_halo_exchange_roundtrip(self):
+        mesh = parallel.create_mesh({"sp": 4})
+        x = jnp.arange(4 * 8.0).reshape(1, 1, 32, 1) * 0 + \
+            jnp.arange(32.0).reshape(1, 1, 32, 1)
+        from hygrid_tpu.parallel.spatial import shard_map
+        body = lambda b: parallel.halo_exchange(b, 2, 2, "sp")
+        spec = parallel.P(None, None, "sp", None)
+        out = shard_map(body, mesh=mesh, in_specs=(spec,),
+                        out_specs=spec)(x)
+        out = np.asarray(out).reshape(4, 12)  # each block: 2+8+2 rows
+        # interior block 1 must see rows 6..17
+        np.testing.assert_allclose(out[1], np.arange(6, 18))
+        # first block zero-padded at top
+        np.testing.assert_allclose(out[0][:2], 0)
+        np.testing.assert_allclose(out[0][2:], np.arange(0, 10))
+        # last block zero-padded at bottom
+        np.testing.assert_allclose(out[3][-2:], 0)
+
+    @pytest.mark.parametrize("radius,offset", [(2, 0), (3, 1)])
+    def test_sharded_hex_conv_matches_unsharded(self, radius, offset):
+        rng = np.random.default_rng(3)
+        x = rng.normal(size=(2, 3, 32, 20)).astype(np.float32)
+        k = rng.normal(size=(5, 3, F.hex_kernel_num(radius))).astype(np.float32)
+        want = np.asarray(F.hex_conv2d(x, k, even_odd_offset=offset,
+                                       radius=radius, padding=radius - 1))
+        mesh = parallel.create_mesh({"sp": 4})
+        got = np.asarray(parallel.sharded_hex_conv2d(
+            jnp.asarray(x), jnp.asarray(k), mesh, even_odd_offset=offset,
+            radius=radius))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_spatial_sharded_jit_conv(self):
+        """Implicit route: jit + NamedSharding on H; XLA partitions the
+        conv with automatic halos."""
+        rng = np.random.default_rng(4)
+        x = rng.normal(size=(4, 3, 32, 16)).astype(np.float32)
+        k = rng.normal(size=(4, 3, 7)).astype(np.float32)
+        want = np.asarray(F.hex_conv2d(x, k, even_odd_offset=0, radius=2,
+                                       padding=1))
+        mesh = parallel.create_mesh({"dp": 2, "sp": 4})
+        xs = jax.device_put(x, jax.sharding.NamedSharding(
+            mesh, parallel.spatial_spec(mesh)))
+        f = jax.jit(lambda a: F.hex_conv2d(a, k, even_odd_offset=0,
+                                           radius=2, padding=1))
+        got = np.asarray(f(xs))
+        np.testing.assert_allclose(got, want, atol=1e-5)
