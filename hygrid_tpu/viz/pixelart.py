@@ -1,0 +1,106 @@
+"""HexPixelArt-compatible offscreen viewer shell (layer L5).
+
+API-shaped rebuild of ``HexPixelArt/window.py`` and ``texture.py`` without
+OpenGL/GLFW (headless TPU hosts have no GL swapchain): ``Window.loop``
+renders frames offscreen through :mod:`.render`; input "callbacks" become
+pure updates of :class:`~hygrid_tpu.viz.render.ViewState`.
+"""
+from __future__ import annotations
+
+import os
+from typing import Callable, Optional, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from .render import ViewState, render_mosaic
+
+__all__ = ["Texture", "Window"]
+
+
+class Texture:
+    """Hex image wrapper mirroring ``texture.py:8-90``: grayscale -> 3
+    channels, spatial dims padded to multiples of 4, hierarchy level."""
+
+    def __init__(self, imgPath: Optional[str] = None, imgarr=None, idx: int = 0,
+                 even_odd_offset: int = 0):
+        if imgPath is not None:
+            from ..image.codecs import read_raster
+            imgarr, _, _ = read_raster(imgPath)
+        if imgarr is None:
+            raise ValueError("need imgPath or imgarr")
+        img = np.asarray(imgarr)
+        if img.ndim == 2:
+            img = img[None]
+        if img.shape[0] == 1:
+            img = np.repeat(img, 3, axis=0)
+        if img.shape[0] == 4:
+            img = img[:3]
+        pad_h = (-img.shape[1]) % 4
+        pad_w = (-img.shape[2]) % 4
+        if pad_h or pad_w:
+            img = np.pad(img, ((0, 0), (0, pad_h), (0, pad_w)))
+        self.img = img
+        self.even_odd_offset = even_odd_offset
+        self.idx = idx
+        self.hierarchy = 0
+        self.img_serial_number = 1
+        self.texHeight, self.texWidth = img.shape[1:]
+
+    def TexSize(self) -> Tuple[int, int]:
+        return self.texHeight, self.texWidth
+
+    def SwitchTexture(self, filename: str):
+        from ..image.codecs import read_raster
+        arr, _, _ = read_raster(filename)
+        self.__init__(imgarr=arr, idx=self.idx,
+                      even_odd_offset=self.even_odd_offset)
+
+
+class Window:
+    """Offscreen render loop mirroring ``window.py:10-148``.
+
+    Pan/zoom/hierarchy state lives in ``self.view``; the interactive
+    keymap becomes explicit methods (``pan``, ``zoom``, ``change_hierarchy``)
+    so drivers (tests, video writers, notebook widgets) can script it.
+    """
+
+    def __init__(self, width: int, height: int, title: str = "",
+                 bgcolor=(0.0, 0.0, 0.0, 1.0)):
+        self.width, self.height, self.title, self.bgColor = (
+            width, height, title, bgcolor)
+        self.view = ViewState()
+        self.frames: list = []
+        self.dx = self.dy = 0.0
+        self.scale = 1.0
+        self.delta_hierarchy = 0
+        self.delta_img_serialNum = 0
+
+    def WindowResize(self, new_width: int, new_height: int):
+        self.width, self.height = new_width, new_height
+
+    def pan(self, dx: float, dy: float):
+        self.view = self.view.pan(dx, dy)
+
+    def zoom(self, factor: float):
+        self.view = self.view.zoom(factor)
+
+    def change_hierarchy(self, delta: int):
+        self.view = self.view.coarser(delta)
+
+    def render_texture(self, tex: Texture) -> np.ndarray:
+        """One frame: (3, height, width) uint8."""
+        frame = render_mosaic(
+            jnp.asarray(tex.img, jnp.float32), (self.height, self.width),
+            tex.even_odd_offset, self.view)
+        return np.clip(np.asarray(frame), 0, 255).astype(np.uint8)
+
+    def loop(self, render: Callable, n_frames: int = 1):
+        """Run the render callback ``n_frames`` times (the reference loops
+        until window close, ``window.py:46-77``); collected frames land in
+        ``self.frames``."""
+        for _ in range(n_frames):
+            out = render()
+            if out is not None:
+                self.frames.append(np.asarray(out))
+        return self.frames

@@ -1,0 +1,222 @@
+"""Tests for the raster I/O layer (L4), viewer (L5) and tiled streaming."""
+import os
+
+import numpy as np
+import pytest
+
+import hygrid_tpu as hg
+from hygrid_tpu.image import IMAGE, HEXIMAGE, codecs
+from hygrid_tpu.ops import tiled
+from hygrid_tpu.viz import ViewState, render_mosaic, Texture, Window
+
+
+@pytest.fixture
+def rgb(tmp_path):
+    rng = np.random.default_rng(0)
+    arr = (rng.random((3, 40, 36)) * 255).astype(np.uint8)
+    path = str(tmp_path / "img.png")
+    codecs.write_raster(path, arr)
+    return arr, path
+
+
+class TestCodecs:
+    def test_png_roundtrip(self, rgb):
+        arr, path = rgb
+        back, geo, proj = codecs.read_raster(path)
+        np.testing.assert_array_equal(back, arr)
+
+    def test_geotiff_tags_roundtrip(self, tmp_path):
+        arr = (np.random.default_rng(1).random((3, 8, 8)) * 255).astype(np.uint8)
+        path = str(tmp_path / "geo.tif")
+        geo = (500000.0, 2.0, 0.0, 4100000.0, 0.0, -2.0)
+        codecs.write_raster(path, arr, geo, proj="WGS 84 / UTM zone 31N")
+        back, geo2, proj2 = codecs.read_raster(path)
+        np.testing.assert_array_equal(back, arr)
+        np.testing.assert_allclose(geo2, geo)
+        assert "UTM" in proj2
+
+    def test_grayscale(self, tmp_path):
+        arr = (np.random.default_rng(2).random((1, 10, 12)) * 255).astype(np.uint8)
+        path = str(tmp_path / "g.png")
+        codecs.write_raster(path, arr)
+        back, _, _ = codecs.read_raster(path)
+        np.testing.assert_array_equal(back, arr)
+
+
+class TestIMAGE:
+    def test_load_attrs(self, rgb):
+        arr, path = rgb
+        im = IMAGE(path)
+        assert im.shape == (3, 40, 36)
+        np.testing.assert_array_equal(im.Image, arr)
+        assert im.geotrans == (0, 1, 0, 0, 0, 1)
+
+    def test_from_data_and_ctor_guards(self):
+        data = np.ones((3, 8, 8))
+        im = IMAGE(data=data)
+        assert im.shape == (3, 8, 8)
+        with pytest.raises(ValueError):
+            IMAGE()
+        with pytest.raises(ValueError):
+            IMAGE(pathname="x.png", data=data)
+        with pytest.raises(OSError):
+            IMAGE("/nonexistent/file.png")
+
+    def test_windowed_read(self, rgb):
+        arr, path = rgb
+        im = IMAGE(path)
+        win = im.LoadImageArray(4, 2, 20, 30)
+        np.testing.assert_array_equal(win, arr[:, 2:30, 4:20])
+        assert im.width == 16 and im.height == 28
+
+    def test_convert_to_hexagon(self, rgb):
+        arr, path = rgb
+        im = IMAGE(path)
+        hexed = im.ConvertToHexagon()
+        assert hexed.shape == (3, 20, 18)
+        want = np.asarray(hg.rect_to_hex_resample(arr, (20, 18), "nearest"))
+        np.testing.assert_allclose(hexed, want)
+
+    def test_save_image(self, rgb, tmp_path):
+        arr, path = rgb
+        im = IMAGE(path)
+        out = str(tmp_path / "o.png")
+        im.SaveImage(out)
+        back, _, _ = codecs.read_raster(out)
+        np.testing.assert_array_equal(back, arr)
+
+    def test_tiles_stream(self, rgb):
+        arr, path = rgb
+        im = IMAGE(path)
+        tiles = list(im.Tiles(tile=16))
+        assert len(tiles) == 3 * 3
+        recon = np.zeros_like(arr)
+        for r0, c0, t in tiles:
+            recon[:, r0:r0 + t.shape[1], c0:c0 + t.shape[2]] = t
+        np.testing.assert_array_equal(recon, arr)
+
+
+class TestHEXIMAGE:
+    def test_hexify_on_load(self, rgb):
+        arr, path = rgb
+        him = HEXIMAGE(path)
+        assert him.shape == (3, 20, 18)
+
+    def test_type1_save_load_roundtrip(self, rgb, tmp_path):
+        arr, path = rgb
+        him = HEXIMAGE(path)
+        out = str(tmp_path / "t1.png")
+        him.SaveHexImage(out, imagetype=1)
+        back = HEXIMAGE(out, heximagetype=1)
+        np.testing.assert_allclose(back.HexagonImage,
+                                   him.HexagonImage.astype(np.uint8))
+
+    def test_type2_save_load_roundtrip(self, rgb, tmp_path):
+        arr, path = rgb
+        him = HEXIMAGE(path)
+        out = str(tmp_path / "t2.png")
+        him.SaveHexImage(out, imagetype=2)
+        back = HEXIMAGE(out, heximagetype=2)
+        np.testing.assert_allclose(back.HexagonImage,
+                                   him.HexagonImage.astype(np.uint8))
+
+    def test_heximg_container_roundtrip(self, rgb, tmp_path):
+        arr, path = rgb
+        him = HEXIMAGE(path)
+        him.geotrans = (1.0, 2.0, 0.0, 3.0, 0.0, -2.0)
+        out = str(tmp_path / "x.heximg")
+        him.SaveHexImage(out)
+        back = HEXIMAGE(out)
+        np.testing.assert_allclose(back.HexagonImage, him.HexagonImage)
+        assert back.geotrans == him.geotrans
+        # container keys are exactly the reference's (HexImage.py:129-137)
+        ds = codecs.read_heximg(out)
+        assert set(ds.keys()) == {"height", "width", "bands", "geotransform",
+                                  "projection", "offset", "HexMatrix"}
+
+    def test_from_data_type_variants(self):
+        rng = np.random.default_rng(3)
+        hexi = rng.random((2, 6, 5))
+        him = HEXIMAGE(data=hexi)
+        np.testing.assert_array_equal(him.HexagonImage, hexi)
+        t1 = np.asarray(hg.heximage_to_type1(hexi[None], 0))[0]
+        him1 = HEXIMAGE(data=t1, heximagetype=1)
+        # the reference's data path slices 1:-1:2 (HexImage.py:109)
+        np.testing.assert_allclose(him1.HexagonImage, t1[:, :, 1:-1:2])
+
+    def test_jpg_save_redirects_to_png(self, rgb, tmp_path):
+        arr, path = rgb
+        him = HEXIMAGE(path)
+        with pytest.warns(UserWarning, match="lossy"):
+            him.SaveHexImage(str(tmp_path / "a.jpg"))
+        assert os.path.exists(tmp_path / "a.png")
+
+
+class TestViewer:
+    def test_constant_image_renders_constant_interior(self):
+        img = np.full((3, 8, 8), 7.0, np.float32)
+        frame = np.asarray(render_mosaic(img, (64, 64)))
+        inner = frame[:, 8:-8, 8:-8]
+        assert set(np.unique(inner)) == {7.0}
+
+    def test_every_hex_cell_painted(self):
+        """Each hex pixel index must appear in the rendered output."""
+        h, w = 6, 5
+        img = np.arange(h * w, dtype=np.float32).reshape(1, h, w)
+        frame = np.asarray(render_mosaic(img, (h * 8, w * 8)))
+        painted = set(np.unique(frame).astype(int))
+        assert set(range(h * w)) <= painted
+
+    def test_hierarchy_changes_mosaic_pitch(self):
+        """hexmosaicSizeRatio = 2^-hierarchy shrinks the overlay cells
+        (texture.py:62); output must change but stay within source values
+        plus background."""
+        img = np.arange(64, dtype=np.float32).reshape(1, 8, 8)
+        fine = np.asarray(render_mosaic(img, (64, 64)))
+        lvl1 = np.asarray(render_mosaic(img, (64, 64),
+                                        view=ViewState(hierarchy=1)))
+        assert not np.array_equal(fine, lvl1)
+        assert set(np.unique(lvl1)) <= set(range(64)) | {0.0}
+
+    def test_texture_and_window_api(self):
+        rng = np.random.default_rng(4)
+        tex = Texture(imgarr=(rng.random((1, 10, 10)) * 255))
+        assert tex.TexSize() == (12, 12)  # padded to multiples of 4
+        win = Window(48, 48, "t")
+        frame = win.render_texture(tex)
+        assert frame.shape == (3, 48, 48)
+        win.pan(0.1, 0.0)
+        win.zoom(1.5)
+        frames = win.loop(lambda: win.render_texture(tex), n_frames=3)
+        assert len(frames) == 3
+
+    def test_hex_imshow_offscreen(self, tmp_path):
+        rng = np.random.default_rng(5)
+        him = HEXIMAGE(data=(rng.random((3, 12, 12)) * 255))
+        out = str(tmp_path / "mosaic.png")
+        frame = him.Hex_imshow(out_size=(96, 96), save_to=out)
+        assert frame.shape == (3, 96, 96)
+        assert os.path.exists(out)
+
+
+class TestTiled:
+    def test_tiled_rect_to_hex_matches_monolithic(self):
+        rng = np.random.default_rng(6)
+        img = rng.random((3, 64, 48)).astype(np.float32)
+        want = np.asarray(hg.rect_to_hex_resample(img, (32, 24), "bilinear"))
+        got = tiled.tiled_rect_to_hex(img, (32, 24), "bilinear", tile_rows=5)
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_tiled_hexresize_matches(self):
+        rng = np.random.default_rng(7)
+        img = rng.random((2, 40, 30)).astype(np.float32)
+        want = np.asarray(hg.hexresize(img, (25, 19), "linear"))
+        got = tiled.tiled_hexresize(img, (25, 19), tile_rows=4)
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_tiled_hex_to_rect_matches(self):
+        rng = np.random.default_rng(8)
+        img = rng.random((2, 30, 30)).astype(np.float32)
+        want = np.asarray(hg.hex_to_rect_resample(img, (41, 37), "linear"))
+        got = tiled.tiled_resample(img, "hex_to_rect", (41, 37), tile_rows=7)
+        np.testing.assert_allclose(got, want, atol=1e-6)
