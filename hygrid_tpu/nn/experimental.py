@@ -1,0 +1,412 @@
+"""Archived / experimental hex ops (SURVEY.md C22).
+
+The reference keeps a tier of ops out of the importable package, archived in
+``codes in old versions.txt``: learned hex<->rect resampling convs, hex
+transposed conv, hex pixel shuffle, quadtree/diamond pooling, an im2col
+reference conv, and unfold helpers.  They encode design intent (upsampling
+and cross-lattice layers for dense prediction models), so this module makes
+them first-class — rebuilt on jax with the archive's exact semantics and
+the archive's latent bugs fixed (noted per function).
+
+All functions take (B, C, H, W); classes follow the archive constructors.
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .functional import (pad2d, hex_kernel_num, _hex_kernel_rows,
+                         _merge_phases, _conv, _reduction,
+                         max_pooling, min_pooling, average_pooling)
+from ..ops.convert import heximage_to_type1, type1_to_heximage
+
+__all__ = [
+    "hex_to_square_downsample_weight",
+    "square_downsample_weight",
+    "diamond_weight",
+    "hex_to_square_conv2d_by_double_stride",
+    "square_to_hex_conv2d_by_double_stride",
+    "hex_conv_transpose2d",
+    "hex_pixel_shuffle",
+    "quadtree_hex_pooling",
+    "diamond_hex_pooling",
+    "hex_to_square_original_resolution",
+    "im2col_hex_conv2d",
+    "hex_im2col",
+    "pixel_even_row_quadtree_unfold",
+    "pixel_even_row_dimond_unfold_1",
+    "pixel_even_row_square_unfold",
+]
+
+
+# ----------------------- bilinear-style init weights -----------------------
+
+def hex_to_square_downsample_weight(channels: int, f: int) -> jnp.ndarray:
+    """Inverse-distance weights on the hex lattice for a learned hex->rect
+    downsample (archive ``generate_weight``, codes:35-48). (C, f, f)."""
+    x = np.arange(f, dtype=np.float64)
+    xx, yy = np.meshgrid(x, x, indexing="ij")
+    dist = 1.0 / np.sqrt((xx - (f - 1) / 2) ** 2 +
+                         (0.5 * xx + yy - 3 * (f - 1) / 4) ** 2)
+    w = dist / dist.sum()
+    return jnp.asarray(np.broadcast_to(w, (channels, f, f)), jnp.float32)
+
+
+def square_downsample_weight(channels: int, f: int) -> jnp.ndarray:
+    """Rect-lattice analogue (codes:445-457). (C, f*f)."""
+    x = np.arange(f, dtype=np.float64)
+    xx, yy = np.meshgrid(x, x, indexing="ij")
+    dist = 1.0 / np.sqrt((xx - (f - 1) / 2) ** 2 + (yy - (f - 1) / 2) ** 2)
+    w = dist / dist.sum()
+    return jnp.asarray(np.broadcast_to(w.reshape(-1), (channels, f * f)),
+                       jnp.float32)
+
+
+def diamond_weight(channels: int, f: int = 2) -> jnp.ndarray:
+    """2x2 diamond-cell weights (codes:614-621). (C, f*f)."""
+    x = np.arange(f, dtype=np.float64)
+    xx, yy = np.meshgrid(x, x, indexing="ij")
+    dist = 1.0 / np.sqrt((xx + yy - (f - 1)) ** 2 +
+                         (0.5 * xx - 0.5 * yy) ** 2)
+    w = dist / dist.sum()
+    return jnp.asarray(np.broadcast_to(w.reshape(-1), (channels, f * f)),
+                       jnp.float32)
+
+
+# ------------------------- cross-lattice resampling ------------------------
+
+def hex_to_square_conv2d_by_double_stride(x, kernel, *,
+                                          even_odd_offset: int = 0,
+                                          padding: int = 0,
+                                          padding_mode: str = "constant",
+                                          padding_value=0):
+    """Learned hex->rect downsample (archive codes:1-66).
+
+    ``kernel``: (C, f, f) per-channel weights (depthwise); the downsample
+    factor f must be even.  Scatters row i's taps at type-1 columns
+    ``i + 2k`` and runs one even-phase depthwise conv with stride
+    (f, 2f - 1).
+    """
+    x = jnp.asarray(x)
+    while x.ndim < 4:
+        x = x[None]
+    kernel = jnp.asarray(kernel)
+    c, f, _ = kernel.shape
+    if f % 2:
+        raise ValueError("downsample factor must be even")
+    k_h, k_w = f, 3 * f - 2
+    weight = jnp.zeros((c, 1, k_h, k_w), kernel.dtype)
+    for i in range(k_h):
+        weight = weight.at[:, 0, i, i:i + (k_h - 1) * 2 + 1:2].add(kernel[:, i, :])
+    x = pad2d(x, padding, padding_mode, padding_value)
+    parity = (even_odd_offset + padding) % 2
+    t1 = heximage_to_type1(x, parity)
+    sl = t1[:, :, :, 1:None if parity % 2 == 0 else -1]
+    return _conv(sl.astype(weight.dtype), weight, (f, 2 * f - 1), c)
+
+
+def square_to_hex_conv2d_by_double_stride(x, kernel, *, padding: int = 0,
+                                          padding_mode: str = "constant",
+                                          padding_value=0):
+    """Learned rect->hex downsample (archive codes:421-493).
+
+    ``kernel``: (C, f*f); even output rows pool aligned fxf windows, odd
+    rows the half-cell-shifted ones, interleaved — a learned version of
+    ``rect_to_hex_resample``'s half-resolution default.
+    """
+    x = jnp.asarray(x)
+    while x.ndim < 4:
+        x = x[None]
+    kernel = jnp.asarray(kernel)
+    c, ksq = kernel.shape
+    f = int(round(math.sqrt(ksq)))
+    x = pad2d(x, padding, padding_mode, padding_value)
+    even = pixel_even_row_square_unfold(x[:, :, :, :-(f // 2)], f)
+    odd = pixel_even_row_square_unfold(x[:, :, f:, (f // 2):], f)
+    evenconv = jnp.einsum("bchwk,ck->bchw", even.astype(kernel.dtype), kernel)
+    oddconv = jnp.einsum("bchwk,ck->bchw", odd.astype(kernel.dtype), kernel)
+    return _merge_phases(evenconv, oddconv, None)
+
+
+def hex_conv_transpose2d(x, kernel, bias=None, *, even_odd_offset: int = 0,
+                         radius: int, stride: int = 1, groups: int = 1):
+    """Hex transposed convolution (archive codes:129-274).
+
+    Zero-stuffs the input onto an upsampled type-1 canvas
+    (``input_interpolation``, codes:186-205), pads by ``radius - 1``, then
+    runs the standard dual-phase conv with stride (2, 2).
+    ``kernel``: (O, C // groups, kernelnum).
+    """
+    x = jnp.asarray(x)
+    while x.ndim < 4:
+        x = x[None]
+    kernel = jnp.asarray(kernel)
+    b, c, h, w = x.shape
+    s, r = stride, radius
+    ks = 2 * r - 1
+    k_h, k_w = ks, 4 * r - 3
+
+    # input_interpolation (codes:186-205): duplicate each pixel at two
+    # adjacent columns on an s-dilated type-1 canvas
+    w1 = 2 * s * w - s + 2 + (1 - s % 2)
+    h1 = s * h - s + 1
+    canvas = jnp.zeros((b, c, h1, w1), x.dtype)
+    off = even_odd_offset
+    ev = x[:, :, 0::2, :]
+    od = x[:, :, 1::2, :]
+    # each pixel lands on two adjacent columns of the s-dilated type-1
+    # canvas; explicit slot counts (the archive's open-ended slices only
+    # line up for offset=1, codes:194-202 — fixed intent)
+    for delta in (0, 1):
+        col0 = off * s + delta
+        canvas = canvas.at[:, :, 0:2 * s * (ev.shape[2] - 1) + 1:2 * s,
+                           col0:col0 + 2 * s * (w - 1) + 1:2 * s].set(ev)
+        col1 = (1 - off) * s + delta
+        if od.shape[2] > 0:
+            canvas = canvas.at[:, :, s:s + 2 * s * (od.shape[2] - 1) + 1:2 * s,
+                               col1:col1 + 2 * s * (w - 1) + 1:2 * s].set(od)
+    p = r - 1
+    canvas = pad2d(canvas, (2 * p, 2 * p, p, p))
+
+    weight = jnp.zeros((kernel.shape[0], c // groups, k_h, k_w), kernel.dtype)
+    for (i, t, ln, start) in _hex_kernel_rows(r):
+        weight = weight.at[:, :, i, t:t + (ln - 1) * 2 + 1:2].add(
+            kernel[:, :, start:start + ln])
+
+    evenconv = _conv(canvas[:, :, :, 1:-s].astype(weight.dtype), weight,
+                     (2, 2), groups)
+    oddconv = _conv(canvas[:, :, s:, s + 1:].astype(weight.dtype), weight,
+                    (2, 2), groups)
+    return _merge_phases(evenconv, oddconv, bias)
+
+
+def hex_pixel_shuffle(x, upscale_factor: int):
+    """Sub-pixel hex upsampling (archive codes:68-126): C*u^2 channels ->
+    C channels at u-times the hex resolution, channels scattered onto the
+    hex-kernel footprint of each cell."""
+    x = jnp.asarray(x)
+    while x.ndim < 4:
+        x = x[None]
+    u = upscale_factor
+    b, cin, h, w = x.shape
+    if cin % (u * u):
+        raise ValueError("channels must be divisible by upscale_factor^2")
+    cout = cin // (u * u)
+    odd_h = h // 2
+    even_h = h - odd_h
+    out_h = u * h + u - 1
+    out_w = u * w + u // 2
+    out = jnp.zeros((b, cout, out_h, out_w * 2 + 1), x.dtype)
+    type1_off = 1 if u % 2 == 0 else -1
+
+    n = 0
+    for i in range(2 * u - 1):
+        t = abs(1 + i - u)
+        for k in range(u - t):
+            chunk = x[:, n * cout:(n + 1) * cout]
+            ev = chunk[:, :, ::2, :]
+            od = chunk[:, :, 1::2, :]
+            for base in (1 + t + 2 * k, 1 + t + 2 * k + type1_off):
+                out = out.at[:, :,
+                             i:i + 2 * u * (even_h - 1) + 1:2 * u,
+                             base:base + (w - 1) * 2 * u + 1:2 * u].set(ev)
+            for base in (u + 1 + t + 2 * k, u + 1 + t + 2 * k + type1_off):
+                if od.shape[2] > 0:
+                    out = out.at[:, :,
+                                 u + i:u + i + 2 * u * (odd_h - 1) + 1:2 * u,
+                                 base:base + (w - 1) * 2 * u + 1:2 * u].set(od)
+            n += 1
+    if u < 2:
+        raise ValueError("upscale_factor must be >= 2 (the archive's crop "
+                         "degenerates to an empty tensor for u=1)")
+    hex_out, _ = type1_to_heximage(out, 0)
+    # archive crop: [u-1 : -u+1, u//2 : -u//2] where the last bound parses
+    # as (-u)//2 (unary minus binds first) — 1 wider crop for odd u
+    return hex_out[:, :, u - 1:-u + 1, u // 2:(-u) // 2]
+
+
+# ------------------------------- poolings ----------------------------------
+
+def pixel_even_row_quadtree_unfold(x):
+    """(codes:637-644): 4 quadtree leaves per cell -> (..., 4)."""
+    l0 = x[:, :, 1:-1:4, 0:-1:2]
+    l1 = x[:, :, 2::4, 0:-1:2]
+    l2 = x[:, :, 1:-1:4, 1::2]
+    l3 = x[:, :, 0:-2:4, 1::2]
+    hh = min(a.shape[2] for a in (l0, l1, l2, l3))
+    ww = min(a.shape[3] for a in (l0, l1, l2, l3))
+    return jnp.stack([a[:, :, :hh, :ww] for a in (l0, l1, l2, l3)], axis=4)
+
+
+def quadtree_hex_pooling(x, method: str, offset: int = 0):
+    """Quadtree pooling (archive codes:494-532): pool the 4 child cells of
+    a coarser hex hierarchy level."""
+    x = jnp.asarray(x)
+    while x.ndim < 4:
+        x = x[None]
+    reduce_fn = _reduction(method)
+    even = pixel_even_row_quadtree_unfold(x[:, :, offset:, :-1])
+    odd = pixel_even_row_quadtree_unfold(x[:, :, offset + 2:, 1:])
+    pad_w = even.shape[3] - odd.shape[3]
+    if pad_w > 0:
+        even = even[:, :, :, :-pad_w]
+    elif pad_w < 0:
+        odd = odd[:, :, :, :pad_w]
+    hh = even.shape[2] + odd.shape[2]
+    pooled = jnp.zeros((even.shape[0], even.shape[1], hh, even.shape[3], 4),
+                       x.dtype)
+    pooled = pooled.at[:, :, ::2].set(even[:, :, :(hh + 1) // 2])
+    pooled = pooled.at[:, :, 1::2].set(odd[:, :, :hh // 2])
+    return reduce_fn(pooled)
+
+
+def pixel_even_row_dimond_unfold_1(x, d: int, stride: Optional[int] = None,
+                                   offset: int = 0):
+    """Diamond-footprint unfold over a type-1 image (codes:645-675)."""
+    if stride is None:
+        stride = d
+    height = int(np.ceil((x.shape[2] + 1 - 2 * d + 1) / (2 * stride)))
+    width = int(np.ceil(int((x.shape[3] - 1) / 2 + 1 - d) / stride))
+    pieces = []
+    for i in range(2 * d - 1):
+        t = abs(1 + i - d)
+        for k in range(d - t):
+            pieces.append(x[:, :,
+                            i:i + 2 * stride * (height - 1) + 1:2 * stride,
+                            1 + t + 2 * k:(1 + t + 2 * k) + (width - 1) * 2 * stride + 1:2 * stride])
+    return jnp.stack(pieces, axis=4)
+
+
+def diamond_hex_pooling(x, method: str, kernelsize: int = 2,
+                        stride: Optional[int] = None, padding: int = 0,
+                        even_odd_offset: int = 0,
+                        padding_mode: str = "constant", padding_value=0):
+    """Diamond pooling (archive ``Dimond_HexPooling``, codes:533-585)."""
+    x = jnp.asarray(x)
+    while x.ndim < 4:
+        x = x[None]
+    reduce_fn = _reduction(method)
+    if stride is None:
+        stride = kernelsize
+    off = (even_odd_offset + padding) % 2
+    x = pad2d(x, padding, padding_mode, padding_value)
+    t1 = heximage_to_type1(x, off)
+    even = pixel_even_row_dimond_unfold_1(t1, kernelsize, stride, off)
+    odd = pixel_even_row_dimond_unfold_1(t1[:, :, stride:, stride:],
+                                         kernelsize, stride, off)
+    pad_w = even.shape[3] - odd.shape[3]
+    if pad_w > 0:
+        even = even[:, :, :, :-pad_w]
+    elif pad_w < 0:
+        odd = odd[:, :, :, :pad_w]
+    hh = even.shape[2] + odd.shape[2]
+    pooled = jnp.zeros((even.shape[0], even.shape[1], hh, even.shape[3],
+                        kernelsize ** 2), x.dtype)
+    pooled = pooled.at[:, :, ::2].set(even[:, :, :(hh + 1) // 2])
+    pooled = pooled.at[:, :, 1::2].set(odd[:, :, :hh // 2])
+    return reduce_fn(pooled)
+
+
+def pixel_even_row_square_unfold(x, d: int, stride: Optional[int] = None):
+    """(codes:712-739): fxf windows of even rows -> (..., f^2)."""
+    if stride is None:
+        stride = d
+    if d % 2 or stride % 2:
+        raise ValueError("factor d and stride must be even")
+    height = int(np.ceil((x.shape[2] - d + 1) / (2 * stride)))
+    width = int(np.ceil(x.shape[3] - d + 1) / stride)
+    width = int(width)
+    pieces = []
+    for i in range(d):
+        for j in range(d):
+            pieces.append(x[:, :,
+                            i:i + 2 * stride * (height - 1) + 1:2 * stride,
+                            j:j + stride * (width - 1) + 1:stride])
+    return jnp.stack(pieces, axis=4)
+
+
+def hex_to_square_original_resolution(x, kernel=None, *,
+                                      even_odd_offset: int = 0,
+                                      padding: int = 0,
+                                      padding_mode: str = "constant",
+                                      padding_value=0):
+    """Same-resolution hex->rect transform via 2x2 diamond blending
+    (archive codes:587-636); odd rows are re-blended from their diamond
+    neighbourhood, even rows pass through."""
+    x = jnp.asarray(x)
+    while x.ndim < 4:
+        x = x[None]
+    c = x.shape[1]
+    if kernel is None:
+        kernel = diamond_weight(c, 2)
+    kernel = jnp.asarray(kernel)
+    off = (even_odd_offset + padding) % 2
+    x = pad2d(x, padding, padding_mode, padding_value)
+    result = x
+    t1 = heximage_to_type1(x, off)
+    even = pixel_even_row_dimond_unfold_1(t1, 2, 1, 0)
+    tmp = jnp.einsum("bchwk,ck->bchw", even.astype(kernel.dtype), kernel)
+    result = result.astype(tmp.dtype).at[:, :, 1:-1:2, 1:].set(tmp)
+    return result[:, :, :, 1:]
+
+
+# --------------------------- im2col reference ------------------------------
+
+def hex_im2col(x, even_odd_offset: int, kernel_radius: int,
+               stride: int = 1, padding: int = 0):
+    """Hex neighbourhood unfold (archive codes:366-419, vectorised).
+
+    Returns (B, out_h*out_w, kernelnum*C) matching the archive's loop
+    semantics (including the parity-dependent kernel shape,
+    ``dl = |h + offset + r - 1 - padding| & 1``).
+    """
+    x = jnp.asarray(x)
+    while x.ndim < 4:
+        x = x[None]
+    x = pad2d(x, padding)
+    b, c, h, w = x.shape
+    r = kernel_radius
+    ks = 2 * r - 1
+    out_h = (h - ks) // stride + 1
+    out_w = (w - ks) // stride + 1
+    patches = []
+    for h0 in range(0, h - ks + 1, stride):
+        dl = abs(h0 + even_odd_offset + r - 1 - padding) & 1
+        row_vecs = []
+        for l in range(ks):
+            t = abs(l + 1 - r)
+            ln = ks - t
+            c0 = t // 2 + dl * (t & 1)
+            for w0 in range(ln):
+                row_vecs.append(x[:, :, h0 + l,
+                                  c0 + w0:c0 + w0 + (out_w - 1) * stride + 1:stride])
+        # archive flatten order is channel-major: (C, kernelnum).flatten()
+        # (codes:406-411) -> lay out as (B, out_w, C*kn)
+        stackd = jnp.stack(row_vecs, axis=1)       # (B, kn, C, out_w)
+        patches.append(jnp.transpose(stackd, (0, 3, 2, 1)).reshape(
+            b, out_w, -1))
+    return jnp.concatenate(patches, axis=1)        # (B, out_h*out_w, C*kn)
+
+
+def im2col_hex_conv2d(x, weight, bias=None, *, even_odd_offset: int = 0,
+                      kernel_radius: int, stride: int = 1, padding: int = 0):
+    """im2col-based hex conv (archive codes:277-364): unfold then one
+    matmul.  ``weight``: (kernelnum*C, O) as in the archive."""
+    x = jnp.asarray(x)
+    while x.ndim < 4:
+        x = x[None]
+    b, c, h, w = x.shape
+    ks = 2 * kernel_radius - 1
+    out_w = (w - ks + 2 * padding) // stride + 1
+    out_h = (h - ks + 2 * padding) // stride + 1
+    cols = hex_im2col(x, even_odd_offset, kernel_radius, stride, padding)
+    out = cols.astype(weight.dtype) @ weight
+    if bias is not None:
+        out = out + bias
+    out = jnp.transpose(out, (0, 2, 1))
+    return out.reshape(b, -1, out_h, out_w)

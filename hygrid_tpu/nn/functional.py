@@ -298,6 +298,114 @@ def _hex_conv2d_mxu(x, kernel, bias, parity, radius, s, d, groups):
     return _merge_phases(evenconv, oddconv, bias)
 
 
+def _hex_conv2d_packed(x, kernel, bias, parity, radius, s, d, groups):
+    """Pixel-packed Kronecker-matmul path (stride 1, groups 1).
+
+    TPU lanes are 128-wide; with C channels, Q = 128 // C consecutive
+    output pixels are packed into one lane vector of Q*C values.  A tap at
+    column shift c maps packed column ``wp`` to source packed columns
+    ``wp + c//Q`` and ``wp + c//Q + 1`` with an intra-pack rotation, so each
+    kernel row collapses into a few dense (Q*C, Q*Cout) matrices
+    ("shift-matrix (x) tap-weight" Kronecker blocks, summed over the row's
+    taps).  The whole hex conv becomes ~(2r-1)*2 matmuls with a FULL
+    128-lane contraction — an order of magnitude faster than XLA's conv op
+    at small C (which contracts only C lanes).
+
+    Falls back to the direct path when the packing does not apply.
+    """
+    b, c, h, w = x.shape
+    co = kernel.shape[0]
+    q = 128 // c if c <= 64 and 128 % c == 0 else 1
+    if s != 1 or groups != 1 or q <= 1 or co > 128:
+        return _hex_conv2d_direct(x, kernel, bias, parity, radius, s, d, groups)
+
+    rows = _hex_kernel_rows(radius)
+    ks = 2 * radius - 1
+    k_h = (ks - 1) * d + 1
+    k_w_t1 = 2 * d * (ks - 1) + 1
+    wt = 2 * w + 1
+    if not (h >= k_h and h - 1 >= k_h and wt - 2 >= k_w_t1):
+        return _hex_conv2d_direct(x, kernel, bias, parity, radius, s, d, groups)
+
+    c0e = [(1 + t * d - ((i * d + parity) % 2)) // 2 for (i, t, ln, st) in rows]
+    c0o = [(2 + t * d - ((1 + i * d + parity) % 2)) // 2 for (i, t, ln, st) in rows]
+    wo = (wt - 2 - k_w_t1) // 2 + 1
+    ho_e = (h - k_h) // 2 + 1
+    ho_o = (h - 1 - k_h) // 2 + 1
+
+    # packed width covering every (output pixel + max shift)
+    max_c = max(max(c0e), max(c0o)) + d * (ks - 1)
+    wp_out = -(-wo // q)                       # packed output columns
+    src_wp = wp_out + ((q - 1) + max_c) // q + 1
+    if src_wp * q > w:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, src_wp * q - w)))
+    else:
+        x = x[:, :, :, :src_wp * q]
+
+    # NHWC, split rows by parity, pack Q pixels into lanes: (B, H2, WP, Q*C)
+    xl = jnp.moveaxis(x, 1, -1)
+    h2 = h // 2
+    xe = xl[:, 0::2].reshape(b, (h + 1) // 2, src_wp, q * c)
+    xo = xl[:, 1::2].reshape(b, h2, src_wp, q * c)
+    # one lookahead row each (phase rows index ho + i//2 <= ho + r - 1)
+    extra = (k_h + 1) // 2
+    xe = jnp.pad(xe, ((0, 0), (0, extra), (0, 0), (0, 0)))
+    xo = jnp.pad(xo, ((0, 0), (0, extra), (0, 0), (0, 0)))
+
+    kern = kernel.astype(jnp.float32)
+
+    def build_mats(c0):
+        """Per (kernel row, packed-col shift) matrices M[(i, s)] of shape
+        (Q*C, Q*Cout): M[qs*C+ci, qo*Cout+co] += W_tap[ci, co].
+        Scatter positions are static; values come from the (possibly
+        traced) kernel, so assembly uses jnp .at updates."""
+        slots: dict = {}
+        for (i, t, ln, start) in rows:
+            for k in range(ln):
+                cshift = c0[i] + d * k
+                for qo in range(q):
+                    src = qo + cshift
+                    sblk, qs = src // q, src % q
+                    slots.setdefault((i, sblk), []).append((qs, qo, start + k))
+        mats = {}
+        for key, entries in slots.items():
+            m = jnp.zeros((q * c, q * co), jnp.float32)
+            for qs, qo, tap in entries:
+                m = m.at[qs * c:(qs + 1) * c, qo * co:(qo + 1) * co].add(
+                    kern[:, :, tap].T)
+            mats[key] = m
+        return mats
+
+    pet = jnp.float32
+    cdt = x.dtype
+
+    def phase(c0, ho, row_of, src_of):
+        mats = build_mats(c0)
+        out = None
+        for (i, sblk), m in sorted(mats.items()):
+            src = xe if src_of(i) == 0 else xo
+            r0 = row_of(i)
+            blk = lax.slice(src, (0, r0, sblk, 0),
+                            (b, r0 + ho, sblk + wp_out, q * c))
+            term = jnp.einsum("bhwk,kn->bhwn", blk.astype(cdt),
+                              jnp.asarray(m, cdt),
+                              preferred_element_type=pet)
+            out = term if out is None else out + term
+        # unpack (B, Ho, WP, Q*Cout) -> (B, Cout, Ho, Wo)
+        out = out.reshape(b, ho, wp_out * q, co)[:, :, :wo]
+        return jnp.moveaxis(out, -1, 1).astype(cdt)
+
+    # even phase: input row 2*ho + i*d -> parity (i*d)%2, row ho + (i*d)//2
+    evenconv = phase(c0e, ho_e,
+                     row_of=lambda i: (i * d) // 2,
+                     src_of=lambda i: (i * d) % 2)
+    # odd phase: input row 2*ho + 1 + i*d
+    oddconv = phase(c0o, ho_o,
+                    row_of=lambda i: (1 + i * d) // 2,
+                    src_of=lambda i: (1 + i * d) % 2)
+    return _merge_phases(evenconv, oddconv, bias)
+
+
 def hex_conv2d(x, kernel, bias=None, *, even_odd_offset: int = 0,
                radius: int, stride: int = 1, padding: int = 0,
                dilation: int = 1, groups: int = 1,
@@ -338,6 +446,8 @@ def hex_conv2d(x, kernel, bias=None, *, even_odd_offset: int = 0,
         return _hex_conv2d_direct(x, kernel, bias, parity, radius, s, d, groups)
     if impl == "mxu":
         return _hex_conv2d_mxu(x, kernel, bias, parity, radius, s, d, groups)
+    if impl == "packed":
+        return _hex_conv2d_packed(x, kernel, bias, parity, radius, s, d, groups)
     raise ValueError(f"unknown impl {impl!r}")
 
 
