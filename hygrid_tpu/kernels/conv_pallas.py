@@ -1,0 +1,379 @@
+"""Fused Pallas hex-convolution kernel (Mosaic / TPU).
+
+This is the hot-path kernel of the framework (the analogue slot of the
+reference's native CUDA kernel, SURVEY.md section 2.3) for the
+small-channel hex convs that dominate image pipelines.
+
+Formulation (see ``nn.functional._hex_conv2d_packed`` for the derivation):
+with C channels and Q = 128 // C, pack Q consecutive pixels into one
+128-lane vector; each (kernel row, packed-column shift) pair collapses to a
+dense (128, Q*Cout) "shift (x) tap-weight" matrix.  The kernel loads the
+even/odd packed row planes into VMEM ONCE per batch element and runs all
+~(2r-1)*2*2 matmuls from VMEM on the MXU — the pure-XLA packed path re-reads
+HBM for every term, which is exactly the traffic this kernel removes.
+
+Scope: stride 1, groups 1, 128 % C == 0, C <= 64, Cout <= 128.  The public
+``hex_conv2d(..., impl="pallas")`` wrapper falls back to the equivalent
+XLA path outside this envelope.
+"""
+from __future__ import annotations
+
+import functools
+from typing import List, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..nn.functional import _hex_kernel_rows, _merge_phases
+
+__all__ = ["packed_hex_conv_pallas", "pallas_conv_applicable",
+           "hex_conv_stack_pallas"]
+
+
+def pallas_conv_applicable(c: int, co: int, stride: int, groups: int) -> bool:
+    return (stride == 1 and groups == 1 and c <= 64 and 128 % c == 0
+            and co * (128 // c) <= 512)
+
+
+def _phase_meta(radius: int, d: int, parity: int, q: int
+                ) -> Tuple[List, List, int, int]:
+    """Static metadata: for each phase a list of
+    (src_parity, row_offset, packed_col_shift, [(qs, qo, tap), ...])."""
+    rows = _hex_kernel_rows(radius)
+    c0e = [(1 + t * d - ((i * d + parity) % 2)) // 2 for (i, t, ln, st) in rows]
+    c0o = [(2 + t * d - ((1 + i * d + parity) % 2)) // 2
+           for (i, t, ln, st) in rows]
+
+    def build(c0, row_base):
+        slots = {}
+        for (i, t, ln, start) in rows:
+            src = (row_base + i * d) % 2
+            r0 = (row_base + i * d) // 2
+            for k in range(ln):
+                cshift = c0[i] + d * k
+                for qo in range(q):
+                    s = qo + cshift
+                    sblk, qs = s // q, s % q
+                    slots.setdefault((src, r0, sblk), []).append(
+                        (qs, qo, start + k))
+        return sorted(slots.items())
+
+    return build(c0e, 0), build(c0o, 1), max(c0e), max(c0o)
+
+
+def _assemble_mats(kernel, meta, q: int, c: int, co: int, dtype):
+    """Stack the per-slot Kronecker matrices: (N, Q*C, Q*Cout)."""
+    mats = []
+    for (_, entries) in meta:
+        m = jnp.zeros((q * c, q * co), jnp.float32)
+        for qs, qo, tap in entries:
+            m = m.at[qs * c:(qs + 1) * c, qo * co:(qo + 1) * co].add(
+                kernel[:, :, tap].T.astype(jnp.float32))
+        mats.append(m)
+    return jnp.stack(mats).astype(dtype)
+
+
+def _conv_kernel(xe_ref, xo_ref, me_ref, mo_ref, oute_ref, outo_ref,
+                 *, meta_e, meta_o, wp_out):
+    """One batch element: all phase matmuls from VMEM-resident row planes."""
+    n_lanes_out = oute_ref.shape[-1]
+
+    def run_phase(meta, mref, oref):
+        ho = oref.shape[1]
+        acc = jnp.zeros((ho * wp_out, n_lanes_out), jnp.float32)
+        for idx, ((src, r0, sblk), _) in enumerate(meta):
+            ref = xe_ref if src == 0 else xo_ref
+            blk = ref[0, r0:r0 + ho, sblk:sblk + wp_out, :]
+            blk2 = blk.reshape(ho * wp_out, blk.shape[-1])
+            acc = acc + jnp.dot(blk2, mref[idx],
+                                preferred_element_type=jnp.float32)
+        oref[0, :, :, :] = acc.reshape(ho, wp_out, n_lanes_out).astype(
+            oref.dtype)
+
+    run_phase(meta_e, me_ref, oute_ref)
+    run_phase(meta_o, mo_ref, outo_ref)
+
+
+def packed_hex_conv_pallas(x, kernel, bias=None, *, even_odd_offset: int = 0,
+                           radius: int, padding: int = 0, dilation: int = 1):
+    """Hex conv via the fused Pallas kernel.  Same semantics as
+    ``hex_conv2d(..., stride=1, groups=1)``; tested equal to the direct
+    path."""
+    x = jnp.asarray(x)
+    while x.ndim < 4:
+        x = x[None]
+    kernel = jnp.asarray(kernel)
+    x = x.astype(kernel.dtype)
+    if padding:
+        x = jnp.pad(x, ((0, 0), (0, 0), (padding, padding),
+                        (padding, padding)))
+    parity = (even_odd_offset + padding) % 2
+    b, c, h, w = x.shape
+    co = kernel.shape[0]
+    d = dilation
+    q = 128 // c
+
+    ks = 2 * radius - 1
+    k_h = (ks - 1) * d + 1
+    k_w_t1 = 2 * d * (ks - 1) + 1
+    wt = 2 * w + 1
+    wo = (wt - 2 - k_w_t1) // 2 + 1
+    ho_e = (h - k_h) // 2 + 1
+    ho_o = (h - 1 - k_h) // 2 + 1
+
+    meta_e, meta_o, _, _ = _phase_meta(radius, d, parity, q)
+
+    max_c = max(max(c0 for ((s, r, c0), _) in m) for m in (meta_e, meta_o))
+    wp_out = -(-wo // q)
+    src_wp = wp_out + max_c + 1
+    if src_wp * q > w:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, src_wp * q - w)))
+    else:
+        x = x[:, :, :, :src_wp * q]
+
+    xl = jnp.moveaxis(x, 1, -1)
+    he2 = (h + 1) // 2
+    ho2 = h // 2
+    xe = xl[:, 0::2].reshape(b, he2, src_wp, q * c)
+    xo = xl[:, 1::2].reshape(b, ho2, src_wp, q * c)
+    max_r0 = max(r for m in (meta_e, meta_o) for ((s, r, c0), _) in m)
+    rows_need = max(ho_e, ho_o) + max_r0
+    xe = jnp.pad(xe, ((0, 0), (0, max(0, rows_need - he2)), (0, 0), (0, 0)))
+    xo = jnp.pad(xo, ((0, 0), (0, max(0, rows_need - ho2)), (0, 0), (0, 0)))
+
+    me = _assemble_mats(kernel, meta_e, q, c, co, x.dtype)
+    mo = _assemble_mats(kernel, meta_o, q, c, co, x.dtype)
+
+    he_rows, ho_rows = xe.shape[1], xo.shape[1]
+    kern = functools.partial(_conv_kernel, meta_e=meta_e, meta_o=meta_o,
+                             wp_out=wp_out)
+    oute, outo = pl.pallas_call(
+        kern,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, he_rows, src_wp, q * c), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ho_rows, src_wp, q * c), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((len(meta_e), q * c, q * co), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((len(meta_o), q * c, q * co), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, ho_e, wp_out, q * co), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ho_o, wp_out, q * co), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, ho_e, wp_out, q * co), x.dtype),
+            jax.ShapeDtypeStruct((b, ho_o, wp_out, q * co), x.dtype),
+        ],
+        interpret=jax.default_backend() != "tpu",
+    )(xe, xo, me, mo)
+
+    def unpack(o, ho):
+        o = o.reshape(b, ho, wp_out * q, co)[:, :, :wo]
+        return jnp.moveaxis(o, -1, 1)
+
+    return _merge_phases(unpack(oute, ho_e), unpack(outo, ho_o), bias)
+
+
+# ---------------------- packed-domain 'same' conv stack ----------------------
+
+def _phase_meta_same(radius: int, d: int, q: int):
+    """Static metadata for a 'same' hex conv (padding = radius - 1) applied
+    directly in the packed even/odd-row domain.
+
+    The spatial padding is folded into the tap shifts (which may go
+    negative, reading the one zero row/packed-column prepended to each
+    plane) so chained layers never leave the packed layout.
+    """
+    p = radius - 1
+    parity = p % 2  # conv-internal parity: (offset 0 + padding) % 2
+    rows = _hex_kernel_rows(radius)
+    c0e = [(1 + t * d - ((i * d + parity) % 2)) // 2 for (i, t, ln, st) in rows]
+    c0o = [(2 + t * d - ((1 + i * d + parity) % 2)) // 2
+           for (i, t, ln, st) in rows]
+
+    def build(c0, row_base):
+        slots = {}
+        for (i, t, ln, start) in rows:
+            ri = row_base + i * d - p          # padded -> original row delta
+            src = ri % 2
+            r0 = ri // 2 + 1                   # +1: prepended zero row
+            for k in range(ln):
+                c = c0[i] + d * k - p          # padded -> original col shift
+                for qo in range(q):
+                    s = qo + c
+                    sblk, qs = s // q + 1, s % q   # +1: prepended zero col
+                    slots.setdefault((src, r0, sblk), []).append(
+                        (qs, qo, start + k))
+        return sorted(slots.items())
+
+    return build(c0e, 0), build(c0o, 1)
+
+
+def _stack_layer_kernel(xe_ref, xo_ref, me_ref, mo_ref, be_ref,
+                        oute_ref, outo_ref, *, meta_e, meta_o, wp_out,
+                        relu: bool, has_bias: bool):
+    def run_phase(meta, mref, oref):
+        ho = oref.shape[1]
+        lanes = oref.shape[-1]
+        acc = jnp.zeros((ho * wp_out, lanes), jnp.float32)
+        for idx, ((src, r0, sblk), _) in enumerate(meta):
+            ref = xe_ref if src == 0 else xo_ref
+            blk = ref[0, r0:r0 + ho, sblk:sblk + wp_out, :]
+            acc = acc + jnp.dot(blk.reshape(ho * wp_out, blk.shape[-1]),
+                                mref[idx], preferred_element_type=jnp.float32)
+        if has_bias:
+            acc = acc + be_ref[0, :].astype(jnp.float32)
+        if relu:
+            acc = jnp.maximum(acc, 0.0)
+        oref[0, :, :, :] = acc.reshape(ho, wp_out, lanes).astype(oref.dtype)
+
+    run_phase(meta_e, me_ref, oute_ref)
+    run_phase(meta_o, mo_ref, outo_ref)
+
+
+def hex_conv_stack_pallas(x, kernels, biases=None, *, radius: int,
+                          even_odd_offset: int = 0, dilation: int = 1,
+                          activation: str = "relu",
+                          final_activation: bool = True):
+    """A chain of 'same' hex convolutions fully in the packed domain.
+
+    Packs once, runs every layer as one fused Pallas kernel (all Kronecker
+    matmuls + bias + activation from VMEM-resident row planes), unpacks
+    once — eliminating the per-layer NCHW<->packed transposes that dominate
+    single-op timings.  Semantically equal to chaining
+    ``act(hex_conv2d(x, k, padding=radius-1))`` (tested).
+
+    Constraints: stride 1, groups 1, all layer widths C with 128 % C == 0
+    and C <= 64, even image height, even_odd_offset 0.
+    """
+    x = jnp.asarray(x)
+    while x.ndim < 4:
+        x = x[None]
+    if even_odd_offset != 0:
+        raise ValueError("packed stack assumes offset-0 input (the output "
+                         "convention of every op in this framework)")
+    b, c, h, w = x.shape
+    if h % 2:
+        raise ValueError("even image height required for the packed stack")
+    d = dilation
+    if activation not in ("relu", None, "none"):
+        raise ValueError("supported fused activations: 'relu' or None")
+    relu = activation == "relu"
+
+    kernels = [jnp.asarray(k) for k in kernels]
+    if biases is None:
+        biases = [None] * len(kernels)
+
+    # width bookkeeping: 'same' conv keeps W; pack W with one zero packed
+    # column on each side (left for negative shifts, right for positive)
+    chans = [c] + [int(k.shape[0]) for k in kernels]
+    for ci in chans:
+        if not (ci <= 64 and 128 % ci == 0):
+            raise ValueError(f"channel width {ci} unsupported by packed stack")
+    h2 = h // 2
+
+    def pack(v):
+        ci = v.shape[1]
+        qi = 128 // ci
+        wp = -(-w // qi)
+        pad_w = wp * qi - w
+        vl = jnp.moveaxis(v, 1, -1)
+        if pad_w:
+            vl = jnp.pad(vl, ((0, 0), (0, 0), (0, pad_w), (0, 0)))
+        xe = vl[:, 0::2].reshape(b, h2, wp, qi * ci)
+        xo = vl[:, 1::2].reshape(b, h2, wp, qi * ci)
+        return xe, xo, wp, qi
+
+    xe, xo, wp, qi = pack(x)
+    dtype = x.dtype
+
+    for li, kern in enumerate(kernels):
+        cin = chans[li]
+        cout = chans[li + 1]
+        qin = 128 // cin
+        qout = 128 // cout
+        wpo = -(-w // qout)
+        meta_e, meta_o = _phase_meta_same(radius, d, qin)
+        if qout != qin:
+            # repack between different widths via unpack/pack (rare)
+            raise NotImplementedError(
+                "mixed channel widths in one packed stack not supported yet")
+        wp_out = wpo
+        max_sblk = max(sb for m in (meta_e, meta_o) for ((s, r, sb), _) in m)
+        max_r0 = max(r for m in (meta_e, meta_o) for ((s, r, sb), _) in m)
+        # extend planes: 1 zero row top, enough rows bottom, 1 zero packed
+        # col left, enough right
+        rows_need = max_r0 + h2
+        cols_need = max_sblk + wp_out
+        def extend(v):
+            return jnp.pad(v, ((0, 0), (1, max(0, rows_need - (h2 + 1))),
+                               (1, max(0, cols_need - (wp + 1))), (0, 0)))
+        xe_x, xo_x = extend(xe), extend(xo)
+
+        me = _assemble_mats(kern, meta_e, qin, cin, cout, dtype)
+        mo = _assemble_mats(kern, meta_o, qin, cin, cout, dtype)
+        has_bias = biases[li] is not None
+        bvec = (jnp.tile(biases[li], qout) if has_bias
+                else jnp.zeros((qout * cout,), dtype))[None]
+
+        layer_relu = relu and (final_activation or li < len(kernels) - 1)
+        kfn = functools.partial(
+            _stack_layer_kernel, meta_e=meta_e, meta_o=meta_o,
+            wp_out=wp_out, relu=layer_relu, has_bias=has_bias)
+        rows_tot, cols_tot = xe_x.shape[1], xe_x.shape[2]
+        xe, xo = pl.pallas_call(
+            kfn,
+            grid=(b,),
+            in_specs=[
+                pl.BlockSpec((1, rows_tot, cols_tot, 128),
+                             lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, rows_tot, cols_tot, 128),
+                             lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((len(meta_e), 128, qout * cout),
+                             lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((len(meta_o), 128, qout * cout),
+                             lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, qout * cout), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, h2, wp_out, 128), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, h2, wp_out, 128), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((b, h2, wp_out, 128), dtype),
+                jax.ShapeDtypeStruct((b, h2, wp_out, 128), dtype),
+            ],
+            interpret=jax.default_backend() != "tpu",
+        )(xe_x, xo_x, me, mo, bvec)
+        if w % qout:
+            # zero the tail pixels of the last packed column so the next
+            # layer's edge reads see proper zero padding
+            mask = np.ones((1, 1, 1, qout * cout), np.float32)
+            mask[..., (w % qout) * cout:] = 0.0
+            mask = jnp.asarray(mask, dtype)
+            xe = xe.at[:, :, -1:].multiply(mask)
+            xo = xo.at[:, :, -1:].multiply(mask)
+        wp = wp_out
+
+    # unpack
+    cout = chans[-1]
+    qout = 128 // cout
+    def unpack(v):
+        return v.reshape(b, h2, wp * qout, cout)[:, :, :w]
+    ye, yo = unpack(xe), unpack(xo)
+    out = jnp.zeros((b, h, w, cout), dtype)
+    out = out.at[:, 0::2].set(ye).at[:, 1::2].set(yo)
+    return jnp.moveaxis(out, -1, 1)

@@ -436,6 +436,15 @@ def hex_conv2d(x, kernel, bias=None, *, even_odd_offset: int = 0,
     x = pad2d(x, padding, padding_mode, padding_value)
     parity = (even_odd_offset + padding) % 2
     s, d = stride, dilation
+    if impl == "auto":
+        # packed Kronecker-matmul path wins for small channel counts on the
+        # MXU (see _hex_conv2d_packed); direct masked convs otherwise
+        c = x.shape[1]
+        if (s == 1 and groups == 1 and c <= 64 and 128 % c == 0
+                and kernel.shape[0] <= 128):
+            impl = "packed"
+        else:
+            impl = "direct"
     if impl == "type1":
         ks = 2 * radius - 1
         k_h = (ks - 1) * d + 1
@@ -447,6 +456,16 @@ def hex_conv2d(x, kernel, bias=None, *, even_odd_offset: int = 0,
     if impl == "mxu":
         return _hex_conv2d_mxu(x, kernel, bias, parity, radius, s, d, groups)
     if impl == "packed":
+        return _hex_conv2d_packed(x, kernel, bias, parity, radius, s, d, groups)
+    if impl == "pallas":
+        from ..kernels.conv_pallas import (packed_hex_conv_pallas,
+                                           pallas_conv_applicable)
+        if pallas_conv_applicable(x.shape[1], kernel.shape[0], s, groups) \
+                and x.shape[2] - 2 >= (2 * radius - 2) * d + 1:
+            # padding already applied above; parity already folded
+            return packed_hex_conv_pallas(
+                x, kernel, bias, even_odd_offset=parity, radius=radius,
+                padding=0, dilation=d)
         return _hex_conv2d_packed(x, kernel, bias, parity, radius, s, d, groups)
     raise ValueError(f"unknown impl {impl!r}")
 

@@ -1,0 +1,116 @@
+"""Tests for the alternative conv implementations and Pallas kernels
+(interpret mode on CPU; the same code compiles via Mosaic on TPU)."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from hygrid_tpu.nn import functional as F
+from hygrid_tpu.kernels.conv_pallas import (
+    hex_conv_stack_pallas, packed_hex_conv_pallas, pallas_conv_applicable)
+
+
+CONFIGS = [
+    # (C, Co, radius, padding, dilation, offset, h, w)
+    (16, 16, 2, 1, 1, 0, 16, 16),
+    (16, 16, 2, 1, 1, 1, 15, 13),
+    (16, 8, 2, 0, 1, 0, 14, 20),
+    (32, 32, 3, 2, 1, 0, 17, 19),
+    (16, 16, 2, 2, 2, 0, 20, 16),
+    (64, 64, 1, 0, 1, 1, 12, 12),
+    (8, 128, 2, 1, 1, 0, 12, 12),
+]
+
+
+def _run(impl, cfg):
+    C, Co, r, p, d, off, h, w = cfg
+    rng = np.random.default_rng(hash(cfg) % 2**32)
+    x = rng.random((2, C, h, w)).astype(np.float32)
+    k = (rng.random((Co, C, F.hex_kernel_num(r))) - 0.5).astype(np.float32)
+    b = rng.random(Co).astype(np.float32)
+    return np.asarray(F.hex_conv2d(
+        x, k, b, even_odd_offset=off, radius=r, padding=p, dilation=d,
+        impl=impl))
+
+
+@pytest.mark.parametrize("impl", ["mxu", "packed", "pallas", "auto"])
+@pytest.mark.parametrize("cfg", CONFIGS)
+def test_impls_agree_with_direct(impl, cfg):
+    want = _run("direct", cfg)
+    got = _run(impl, cfg)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+@pytest.mark.parametrize("C,r,L,h,w,bias_on", [
+    (16, 2, 3, 16, 16, True),
+    (16, 2, 3, 18, 13, False),
+    (32, 3, 2, 12, 10, True),
+    (16, 1, 2, 8, 8, True),
+    (16, 2, 4, 20, 11, True),
+])
+def test_pallas_stack_matches_chained(C, r, L, h, w, bias_on):
+    rng = np.random.default_rng(C * 100 + L)
+    x = rng.random((2, C, h, w)).astype(np.float32)
+    ks = [(rng.random((C, C, F.hex_kernel_num(r))) - 0.5).astype(np.float32)
+          for _ in range(L)]
+    bs = ([rng.random(C).astype(np.float32) for _ in range(L)]
+          if bias_on else None)
+    ref = jnp.asarray(x)
+    for i, k in enumerate(ks):
+        b = bs[i] if bias_on else None
+        ref = jax.nn.relu(F.hex_conv2d(
+            ref, k, b, even_odd_offset=0, radius=r, padding=r - 1,
+            impl="direct"))
+    got = hex_conv_stack_pallas(x, ks, bs, radius=r)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_pallas_stack_no_final_activation():
+    rng = np.random.default_rng(0)
+    x = rng.random((1, 16, 8, 8)).astype(np.float32)
+    ks = [(rng.random((16, 16, 7)) - 0.5).astype(np.float32)]
+    ref = F.hex_conv2d(x, ks[0], even_odd_offset=0, radius=2, padding=1,
+                       impl="direct")
+    got = hex_conv_stack_pallas(x, ks, None, radius=2, final_activation=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+    assert float(np.asarray(got).min()) < 0  # no ReLU applied
+
+
+def test_pallas_stack_guards():
+    with pytest.raises(ValueError):
+        hex_conv_stack_pallas(np.ones((1, 16, 9, 8)), [np.ones((16, 16, 7))],
+                              radius=2)  # odd height
+    with pytest.raises(ValueError):
+        hex_conv_stack_pallas(np.ones((1, 5, 8, 8)), [np.ones((5, 5, 7))],
+                              radius=2)  # 128 % 5 != 0
+    with pytest.raises(ValueError):
+        hex_conv_stack_pallas(np.ones((1, 16, 8, 8)), [np.ones((16, 16, 7))],
+                              radius=2, even_odd_offset=1)
+
+
+def test_applicability_predicate():
+    assert pallas_conv_applicable(16, 16, 1, 1)
+    assert not pallas_conv_applicable(16, 16, 2, 1)   # stride
+    assert not pallas_conv_applicable(16, 16, 1, 2)   # groups
+    assert not pallas_conv_applicable(5, 16, 1, 1)    # 128 % 5
+
+
+def test_pallas_grad_flows():
+    """The packed/pallas paths are linear-in-kernel matmul assemblies, so
+    autodiff must work through them (training on TPU uses them)."""
+    x = jnp.asarray(np.random.default_rng(1).random((1, 16, 8, 8)), jnp.float32)
+    k = jnp.asarray(np.random.default_rng(2).random((16, 16, 7)), jnp.float32)
+
+    def loss(kk):
+        return jnp.sum(F.hex_conv2d(x, kk, even_odd_offset=0, radius=2,
+                                    padding=1, impl="packed") ** 2)
+
+    g = jax.grad(loss)(k)
+    assert g.shape == k.shape and bool(jnp.any(g != 0))
+    # finite-difference check on one coordinate
+    eps = 1e-3
+    e = jnp.zeros_like(k).at[3, 5, 2].set(eps)
+    fd = (loss(k + e) - loss(k - e)) / (2 * eps)
+    np.testing.assert_allclose(float(fd), float(g[3, 5, 2]), rtol=2e-2)
