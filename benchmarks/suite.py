@@ -1,0 +1,133 @@
+"""The five BASELINE.json benchmark configs, each printing one JSON line.
+
+Run on TPU:  python benchmarks/suite.py [config ...]
+Configs: roundtrip | batched_filter | hexcnn | video | mosaic | all
+
+(``bench.py`` at the repo root is the driver-facing north-star metric and
+equals ``roundtrip`` here.)
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def _timeit(f, *a, n=10):
+    out = f(*a)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = f(*a)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n
+
+
+def bench_roundtrip():
+    """Config 1 + north star: 512^2 RGB rect->hex->rect + 10-layer stack."""
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        "root_bench", os.path.join(os.path.dirname(__file__), "..", "bench.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.main()
+
+
+def bench_batched_filter(batch=256, size=1024):
+    """Config 2: batched hex bilinear resample + Gaussian + edge filtering,
+    256 images at 1024^2 (streamed in device-sized chunks)."""
+    import hygrid_tpu as hg
+    from hygrid_tpu.nn import filters
+
+    chunk = 16
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((chunk, 3, size, size)), jnp.float32)
+
+    @jax.jit
+    def f(v):
+        hexed = hg.rect_to_hex_resample(v, (size // 2, size // 2), "bilinear")
+        blurred = filters.hex_gaussian_blur(hexed.astype(jnp.bfloat16))
+        edges = filters.hex_edge_detect(blurred)
+        return edges
+
+    per_chunk = _timeit(f, x, n=5)
+    total = per_chunk * (batch // chunk)
+    val = batch / total
+    print(json.dumps({
+        "metric": f"batched hex resample+gaussian+edge, {batch}x{size}^2",
+        "value": round(val, 2), "unit": "images/sec/chip",
+        "vs_baseline": None}))
+
+
+def bench_hexcnn(batch=256):
+    """Config 3: small HexCNN classifying hex-resampled CIFAR-sized input."""
+    from hygrid_tpu.models import hexcnn_small, hexify_batch
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((batch, 3, 32, 32)), jnp.float32)
+    model = hexcnn_small(norm="GN", dtype=jnp.bfloat16)
+    params = model.init(jax.random.key(0), hexify_batch(x[:2]))
+
+    @jax.jit
+    def f(v):
+        return model.apply(params, hexify_batch(v))
+
+    per = _timeit(f, x, n=10)
+    print(json.dumps({
+        "metric": f"HexCNN-small inference, hex-CIFAR batch {batch}",
+        "value": round(batch / per, 1), "unit": "images/sec/chip",
+        "vs_baseline": None}))
+
+
+def bench_video(frames=90):
+    """Config 4: per-frame 720p rect->hex + hex filtering; target 30 fps."""
+    from hygrid_tpu.models.video import make_frame_processor, process_stream, StreamStats
+
+    rng = np.random.default_rng(0)
+    h, w = 720, 1280
+    proc = make_frame_processor(h, w)
+    stream = (rng.random((3, h, w)).astype(np.float32) for _ in range(frames))
+    stats = StreamStats()
+    for _ in process_stream(stream, proc, stats):
+        pass
+    print(json.dumps({
+        "metric": "720p video: per-frame rect->hex + hex gaussian",
+        "value": round(stats.fps, 1), "unit": "fps",
+        "vs_baseline": round(stats.fps / 30.0, 2)}))
+
+
+def bench_mosaic():
+    """Config 5: 4K hex-mosaic render via the fused gather plan."""
+    from hygrid_tpu.viz import render_mosaic
+
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.random((3, 540, 960)) * 255, jnp.float32)
+    f = jax.jit(lambda v: render_mosaic(v, (2160, 3840)))
+    per = _timeit(f, img, n=10)
+    fps = 1.0 / per
+    print(json.dumps({
+        "metric": "4K hexagon mosaic render",
+        "value": round(fps, 1), "unit": "frames/sec/chip",
+        "vs_baseline": None}))
+
+
+ALL = {
+    "roundtrip": bench_roundtrip,
+    "batched_filter": bench_batched_filter,
+    "hexcnn": bench_hexcnn,
+    "video": bench_video,
+    "mosaic": bench_mosaic,
+}
+
+
+if __name__ == "__main__":
+    names = sys.argv[1:] or ["all"]
+    if names == ["all"]:
+        names = list(ALL)
+    for n in names:
+        ALL[n]()

@@ -1,0 +1,77 @@
+"""Streaming per-frame video path (BASELINE.json config 4: 720p/30fps).
+
+The reference has no video pipeline; this provides the de-facto
+"HexFrames video path": per-frame rect->hex resample + hex filtering as one
+jitted program, with an async feeder so host->device transfer of frame t+1
+overlaps device compute of frame t.
+"""
+from __future__ import annotations
+
+import time
+from typing import Callable, Iterable, Iterator, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import geometry
+from ..nn import filters
+
+__all__ = ["make_frame_processor", "process_stream", "StreamStats"]
+
+
+def make_frame_processor(height: int, width: int,
+                         hex_size: Optional[Tuple[int, int]] = None,
+                         interpolation: str = "bilinear",
+                         filter_taps=None,
+                         post: Optional[Callable] = None):
+    """Build a jitted (C, H, W) -> hex frame processor.
+
+    Default pipeline: rect->hex at half resolution + hex Gaussian blur.
+    ``post`` can append arbitrary jittable work (e.g. a HexCNN forward).
+    """
+    if hex_size is None:
+        hex_size = (height // 2, width // 2)
+    if filter_taps is None:
+        filter_taps = filters.hex_gaussian_kernel(1.0)
+
+    @jax.jit
+    def process(frame):
+        hexed = geometry.rect_to_hex_resample(frame[None], hex_size,
+                                              interpolation)
+        out = filters.hex_filter(hexed, filter_taps)
+        if post is not None:
+            out = post(out)
+        return out[0]
+
+    return process
+
+
+class StreamStats:
+    def __init__(self):
+        self.frames = 0
+        self.seconds = 0.0
+
+    @property
+    def fps(self) -> float:
+        return self.frames / self.seconds if self.seconds else float("inf")
+
+
+def process_stream(frames: Iterable[np.ndarray], processor,
+                   stats: Optional[StreamStats] = None) -> Iterator:
+    """Run the processor over a frame iterable with one frame of device
+    pipelining (dispatch is async; we only block one result behind)."""
+    stats = stats if stats is not None else StreamStats()
+    t0 = time.perf_counter()
+    pending = None
+    n = 0
+    for frame in frames:
+        out = processor(jnp.asarray(frame))
+        if pending is not None:
+            yield jax.block_until_ready(pending)
+        pending = out
+        n += 1
+    if pending is not None:
+        yield jax.block_until_ready(pending)
+    stats.frames = n
+    stats.seconds = time.perf_counter() - t0

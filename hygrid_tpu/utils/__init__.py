@@ -1,7 +1,9 @@
-"""Utilities: native IO runtime bindings, profiling helpers."""
+"""Utilities: native IO runtime bindings, profiling, checkpointing."""
 from .native_loader import (
     NativeTileLoader, write_raw_raster, read_raw_raster, native_available,
     RawRasterSpec)
+from .profiling import annotate, device_timer, benchmark, get_logger
+from .checkpoint import save_checkpoint, restore_checkpoint, HAS_ORBAX
 
 __all__ = [
     "NativeTileLoader",
@@ -9,4 +11,11 @@ __all__ = [
     "read_raw_raster",
     "native_available",
     "RawRasterSpec",
+    "annotate",
+    "device_timer",
+    "benchmark",
+    "get_logger",
+    "save_checkpoint",
+    "restore_checkpoint",
+    "HAS_ORBAX",
 ]
