@@ -1,0 +1,156 @@
+"""Fused gather-interpolate resampling kernel (Pallas / Mosaic).
+
+The TPU-native replacement slot for the reference's Numba-CUDA
+``resample_on_hexagonal_grids`` kernel (``geometry.py:8-155``, SURVEY.md
+section 2.3).  XLA lowers the resampling plans' large arbitrary gathers to
+a scalar index loop on TPU (~13 ms for a 512^2x3 hex->rect inside a fused
+program); this kernel exploits the plans' *row-band structure* instead:
+
+Every axis-aligned resample term reads, for output row r, only source rows
+``{b_r, b_r + 1}``.  So per output row the op is two (BC, W) x (W, W1)
+matmuls where the right factors are weight-carrying one-hot matrices built
+in-register from iota==index compares — the gather rides the MXU, the
+indices never touch HBM as gather indices at all.
+
+Scope: plans whose terms are row-separable (hex_to_rect / hexresize /
+rect_to_hex / axis-aligned warps) and whose source fits VMEM; the generic
+XLA path remains the fallback (``apply_plan``).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ops.sampling import SamplePlan, apply_plan
+
+__all__ = ["rowsep_decompose", "apply_plan_pallas", "pallas_resample_applicable"]
+
+
+def rowsep_decompose(plan: SamplePlan):
+    """Decompose a plan into the row-band form.
+
+    Returns ``(rowbase (h1,) int32, cols (2, K, h1, w1) int32,
+    wts (2, K, h1, w1) float32)`` such that::
+
+        out[c, r, :] = sum_d sum_k wts[d,k,r,:] * src[c, rowbase[r]+d, cols[d,k,r,:]]
+
+    or None if the plan is not row-separable.
+    """
+    h, w = plan.src_shape
+    if h < 2:
+        return None
+    k, h1, w1 = plan.idx.shape
+    rows = plan.idx // w
+    cols = plan.idx % w
+    valid = plan.weights != 0
+    # zero-weight entries are clamped placeholders — exclude them from the
+    # band computation; they can live anywhere with weight 0
+    big = np.where(valid, rows, h + 10)
+    base = big.min(axis=(0, 2))                      # (h1,)
+    base = np.where(base > h, 0, base)               # fully-invalid rows
+    base = np.clip(base, 0, h - 2).astype(np.int64)
+    delta = rows - base[None, :, None]
+    if np.any(valid & ((delta < 0) | (delta > 1))):
+        return None
+    out_cols = np.zeros((2, k, h1, w1), np.int32)
+    out_wts = np.zeros((2, k, h1, w1), np.float32)
+    for d in (0, 1):
+        sel = valid & (delta == d)
+        out_cols[d] = np.where(sel, cols, 0)
+        out_wts[d] = np.where(sel, plan.weights, 0.0)
+    return base.astype(np.int32), out_cols, out_wts
+
+
+def pallas_resample_applicable(plan: SamplePlan, n_lead: int,
+                               elem_bytes: int = 4,
+                               vmem_budget: int = 4 * 2**20) -> bool:
+    h, w = plan.src_shape
+    return (h >= 2 and h * w * elem_bytes <= vmem_budget
+            and rowsep_decompose(plan) is not None)
+
+
+def _resample_kernel(rowref, colref, wref, src_ref, out_ref, *, tr, w, w1, k):
+    """One output-row tile: per row, two one-hot matmuls on the MXU.
+    ``rowref`` is the full row-base vector (scalar-prefetched into SMEM)."""
+    iota = lax.broadcasted_iota(jnp.int32, (w, w1), 0)
+    j = pl.program_id(1)
+    for r in range(tr):
+        base = rowref[j * tr + r]
+        acc = None
+        for d in (0, 1):
+            m = jnp.zeros((w, w1), jnp.float32)
+            for kk in range(k):
+                c = colref[0, d, kk, r, :][None, :]      # (1, w1)
+                wt = wref[0, d, kk, r, :][None, :].astype(jnp.float32)
+                m = m + jnp.where(iota == c, wt, 0.0)
+            srow = src_ref[:, base + d, :].astype(jnp.float32)   # (BC, w)
+            term = jnp.dot(srow, m, preferred_element_type=jnp.float32)
+            acc = term if acc is None else acc + term
+        out_ref[:, r, :] = acc.astype(out_ref.dtype)
+
+
+def apply_plan_pallas(image, plan: SamplePlan, tile_rows: int = 8):
+    """Execute a row-separable plan via the fused Pallas kernel.
+
+    Same numerics as :func:`hygrid_tpu.ops.sampling.apply_plan` (tested);
+    image shape (..., H, W), any leading dims.
+    """
+    dec = rowsep_decompose(plan)
+    if dec is None:
+        return apply_plan(image, plan)
+    rowbase, cols, wts = dec
+    h, w = plan.src_shape
+    k, h1, w1 = plan.idx.shape
+
+    image = jnp.asarray(image)
+    lead = image.shape[:-2]
+    bc = int(np.prod(lead)) if lead else 1
+    src = image.reshape(bc, h, w)
+    out_dtype = (image.dtype if jnp.issubdtype(image.dtype, jnp.floating)
+                 else jnp.float32)
+
+    # group leading planes so one group's source slab fits VMEM
+    esz = image.dtype.itemsize
+    budget = 4 * 2**20
+    gb = max(1, min(bc, budget // max(1, h * w * esz)))
+    pad_bc = (-bc) % gb
+    if pad_bc:
+        src = jnp.pad(src, ((0, pad_bc), (0, 0), (0, 0)))
+    n_groups = (bc + pad_bc) // gb
+
+    tr = tile_rows
+    pad_h1 = (-h1) % tr
+    if pad_h1:
+        rowbase = np.pad(rowbase, (0, pad_h1))
+        cols = np.pad(cols, ((0, 0), (0, 0), (0, pad_h1), (0, 0)))
+        wts = np.pad(wts, ((0, 0), (0, 0), (0, pad_h1), (0, 0)))
+    n_tiles = (h1 + pad_h1) // tr
+
+    kern = functools.partial(_resample_kernel, tr=tr, w=w, w1=w1, k=k)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_groups, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 2, k, tr, w1), lambda g, j, rows: (0, 0, 0, j, 0)),
+            pl.BlockSpec((1, 2, k, tr, w1), lambda g, j, rows: (0, 0, 0, j, 0)),
+            pl.BlockSpec((gb, h, w), lambda g, j, rows: (g, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((gb, tr, w1), lambda g, j, rows: (g, j, 0)),
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bc + pad_bc, (h1 + pad_h1), w1),
+                                       out_dtype),
+        interpret=jax.default_backend() != "tpu",
+    )(jnp.asarray(rowbase), jnp.asarray(cols)[None],
+      jnp.asarray(wts)[None], src)
+    out = out[:bc, :h1]
+    return out.reshape(lead + (h1, w1))

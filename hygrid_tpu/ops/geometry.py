@@ -137,7 +137,7 @@ def image_geometric_transformation(img, H=None, interpolation: str = "nearest",
     key = ("warp", h, w, interpolation, Hm.tobytes())
     plan = _cached_plan(key, lambda: sampling.hex_sample_plan(
         *_warp_grid(h, w, Hm), h, w, interpolation))
-    return _ref_squeeze(sampling.apply_plan(img, plan), img.ndim)
+    return _ref_squeeze(sampling.apply_plan_auto(img, plan), img.ndim)
 
 
 def _linspace_grid(box, h1: int, w1: int, hex_grid_shift: bool = False):
@@ -170,7 +170,7 @@ def hex_to_rect_resample(hex_image, rect_dsize: Optional[Tuple[int, int]] = None
     plan = _cached_plan(key, lambda: sampling.hex_sample_plan(
         *_linspace_grid(lattice.corner_box("hex_to_rect", h, w), h1, w1),
         h, w, interpolation))
-    return _ref_squeeze(sampling.apply_plan(img, plan), img.ndim)
+    return _ref_squeeze(sampling.apply_plan_auto(img, plan), img.ndim)
 
 
 def rect_to_hex_resample(rect_image, hex_dsize: Optional[Tuple[int, int]] = None,
@@ -197,7 +197,7 @@ def rect_to_hex_resample(rect_image, hex_dsize: Optional[Tuple[int, int]] = None
         *_linspace_grid(lattice.corner_box("rect_source", h, w), h1, w1,
                         hex_grid_shift),
         h, w, interpolation, nearest_metric=nearest_metric))
-    return _ref_squeeze(sampling.apply_plan(img, plan), img.ndim)
+    return _ref_squeeze(sampling.apply_plan_auto(img, plan), img.ndim)
 
 
 def hexresize(image, dsize: Tuple[int, int], interpolation: str = "linear",
@@ -221,4 +221,4 @@ def hexresize(image, dsize: Tuple[int, int], interpolation: str = "linear",
     plan = _cached_plan(key, lambda: sampling.hex_sample_plan(
         *_linspace_grid(lattice.corner_box("hexresize", h, w), h1, w1),
         h, w, interpolation))
-    return _ref_squeeze(sampling.apply_plan(img, plan), img.ndim)
+    return _ref_squeeze(sampling.apply_plan_auto(img, plan), img.ndim)

@@ -183,6 +183,43 @@ def rect_sample_plan(x, y, h: int, w: int, method: str, xp=np,
     raise ValueError(f"unsupported rect sampling method {method!r}")
 
 
+RESAMPLE_BACKEND = "auto"
+"""Resample execution backend: "auto" (Pallas fused kernel on TPU when the
+plan is row-separable and the source fits VMEM, XLA otherwise), "xla", or
+"pallas" (force)."""
+
+
+def set_resample_backend(name: str) -> None:
+    global RESAMPLE_BACKEND
+    if name not in ("auto", "xla", "pallas"):
+        raise ValueError(name)
+    RESAMPLE_BACKEND = name
+
+
+def apply_plan_auto(image, plan: "SamplePlan"):
+    """Backend-dispatching plan execution (see RESAMPLE_BACKEND).
+
+    XLA lowers the plans' large arbitrary gathers to a scalar loop on TPU;
+    the Pallas kernel (kernels/resample_pallas.py) turns row-separable
+    plans into MXU one-hot matmuls instead (~30x faster on big frames).
+    """
+    import jax as _jax
+    image = jnp.asarray(image)
+    if RESAMPLE_BACKEND == "xla":
+        return apply_plan(image, plan)
+    from ..kernels.resample_pallas import (apply_plan_pallas,
+                                          pallas_resample_applicable)
+    n_lead = int(np.prod(image.shape[:-2])) if image.ndim > 2 else 1
+    floaty = jnp.issubdtype(image.dtype, jnp.floating)
+    if RESAMPLE_BACKEND == "pallas":
+        return apply_plan_pallas(image, plan)
+    if (_jax.default_backend() == "tpu" and floaty
+            and pallas_resample_applicable(plan, n_lead,
+                                           image.dtype.itemsize)):
+        return apply_plan_pallas(image, plan)
+    return apply_plan(image, plan)
+
+
 def apply_plan(image, plan: SamplePlan):
     """Execute a :class:`SamplePlan` on an image of shape ``(..., H, W)``.
 
