@@ -9,6 +9,7 @@ Unlike the reference (whose ``__init__`` files are empty and force submodule
 imports), this package curates a public namespace.
 """
 from . import lattice
+from . import compat  # noqa: F401  (reference API shims)
 from .lattice import HexSpec
 from .ops import (
     image_geometric_transformation,

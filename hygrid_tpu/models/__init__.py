@@ -1,5 +1,7 @@
 """Built-in hex model families and training utilities."""
 from .hexcnn import HexCNN, HexConvNeXtBlock, hexcnn_small, hexcnn_tiny
+from .hexunet import HexUNet, HexConvTranspose2d, HexPixelShuffleUpsample
+from .video import make_frame_processor, process_stream, StreamStats
 from .train import (
     TrainState,
     create_train_state,
@@ -11,6 +13,12 @@ from .train import (
 
 __all__ = [
     "HexCNN",
+    "HexUNet",
+    "HexConvTranspose2d",
+    "HexPixelShuffleUpsample",
+    "make_frame_processor",
+    "process_stream",
+    "StreamStats",
     "HexConvNeXtBlock",
     "hexcnn_small",
     "hexcnn_tiny",

@@ -1,0 +1,140 @@
+"""HexUNet: dense-prediction (segmentation) model family on the hex lattice.
+
+The reference targets segmentation through external mmsegmentation configs
+(registry hook at ``HexModules.py:16``) and archives the pieces a decoder
+needs — ``HexConvTranspose2d`` and ``HexPixelShuffle``
+(``codes in old versions.txt:68-274``).  This model wires those archived
+ops together with the production conv/pool stack into a working encoder/
+decoder, so dense prediction is available in-framework.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..nn.modules import HexConvModule
+from ..nn import functional as F
+from ..nn import experimental as E
+
+__all__ = ["HexUNet", "HexConvTranspose2d", "HexPixelShuffleUpsample"]
+
+
+class HexConvTranspose2d(nn.Module):
+    """Flax wrapper over the archived transposed hex conv
+    (``codes in old versions.txt:129-274``)."""
+
+    in_channels: int
+    out_channels: int
+    even_odd_offset: int
+    hexkernel_radius: int
+    stride: int = 1
+    groups: int = 1
+    use_bias: bool = False
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kn = F.hex_kernel_num(self.hexkernel_radius)
+        fan_in = (self.in_channels // self.groups) * kn
+        bound = 1.0 / (fan_in ** 0.5)
+        kernel = self.param(
+            "kernel",
+            lambda key, shape, dtype: jax.random.uniform(
+                key, shape, dtype, -bound, bound),
+            (self.out_channels, self.in_channels // self.groups, kn),
+            self.param_dtype)
+        bias = (self.param("bias", nn.initializers.zeros,
+                           (self.out_channels,), self.param_dtype)
+                if self.use_bias else None)
+        return E.hex_conv_transpose2d(
+            x, kernel, bias, even_odd_offset=self.even_odd_offset,
+            radius=self.hexkernel_radius, stride=self.stride,
+            groups=self.groups)
+
+
+class HexPixelShuffleUpsample(nn.Module):
+    """1x1-expand + hex pixel shuffle (archived ``HexPixelShuffle``,
+    ``codes in old versions.txt:68-126``)."""
+
+    channels: int
+    factor: int = 2
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[1]
+        expand = nn.Dense(self.channels * self.factor ** 2,
+                          param_dtype=self.param_dtype)
+        x = jnp.moveaxis(expand(jnp.moveaxis(x, 1, -1)), -1, 1)
+        return E.hex_pixel_shuffle(x, self.factor)
+
+
+def _crop_or_pad_to(x, target_hw):
+    th, tw = target_hw
+    h, w = x.shape[-2:]
+    x = x[..., :min(h, th), :min(w, tw)]
+    ph, pw = th - x.shape[-2], tw - x.shape[-1]
+    if ph or pw:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, ph), (0, pw)))
+    return x
+
+
+class HexUNet(nn.Module):
+    """Encoder/decoder over the hex lattice with skip connections.
+
+    Encoder: HexConvModule stages + stride-2 hex max-pool.
+    Decoder: HexConvTranspose2d (or pixel-shuffle) upsampling + skip concat.
+    Output: per-cell class logits at input hex resolution.
+    """
+
+    num_classes: int
+    widths: Sequence[int] = (32, 64, 128)
+    radius: int = 2
+    norm: str = "GN"
+    upsample: str = "transpose"  # or "pixelshuffle"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = jnp.asarray(x, self.dtype)
+        cin = x.shape[1]
+        norm_cfg = dict(type=self.norm, num_groups=8) if self.norm == "GN" \
+            else (dict(type=self.norm) if self.norm else None)
+
+        skips = []
+        for i, width in enumerate(self.widths):
+            x = HexConvModule(in_channels=cin, out_channels=width,
+                              even_odd_offset=0,
+                              hexkernel_radius=self.radius,
+                              padding=self.radius - 1, norm_cfg=norm_cfg,
+                              name=f"enc{i}")(x, train=train)
+            cin = width
+            if i != len(self.widths) - 1:
+                skips.append(x)
+                x = F.hex_pool2d(x, "max", kernel_size=2, stride=2)
+
+        for i, width in enumerate(reversed(self.widths[:-1])):
+            if self.upsample == "transpose":
+                x = HexConvTranspose2d(
+                    in_channels=cin, out_channels=width, even_odd_offset=0,
+                    hexkernel_radius=self.radius, stride=2,
+                    name=f"up{i}")(x)
+            else:
+                x = HexPixelShuffleUpsample(channels=width, factor=2,
+                                            name=f"up{i}")(x)
+            skip = skips.pop()
+            x = _crop_or_pad_to(x, skip.shape[-2:])
+            x = jnp.concatenate([x, skip], axis=1)
+            x = HexConvModule(in_channels=width * 2, out_channels=width,
+                              even_odd_offset=0,
+                              hexkernel_radius=self.radius,
+                              padding=self.radius - 1, norm_cfg=norm_cfg,
+                              name=f"dec{i}")(x, train=train)
+            cin = width
+
+        head = nn.Dense(self.num_classes, dtype=self.dtype, name="head")
+        x = jnp.moveaxis(head(jnp.moveaxis(x, 1, -1)), -1, 1)
+        return x
