@@ -54,19 +54,22 @@ def main():
     batch, size, channels, layers, radius = 16, 512, 16, 10, 2
     dtype = jnp.bfloat16
     rng = np.random.default_rng(1)
-    x = jnp.asarray(rng.random((batch, 3, size, size)), jnp.float32)
+    # distinct input buffers per iteration and a sync over ALL outputs:
+    # the runtime can elide repeated (executable, operands) launches, which
+    # would inflate the number
+    n_iters = 10
+    xs = [jnp.asarray(rng.random((batch, 3, size, size)), jnp.float32)
+          for _ in range(n_iters)]
 
     pipe = jax.jit(build_pipeline(size, channels, layers, radius, dtype))
-    out = pipe(x)
-    jax.block_until_ready(out)  # compile + warm up
+    jax.block_until_ready(pipe(xs[0]))  # compile + warm up
 
-    n_iters = 20
     t0 = time.perf_counter()
-    for _ in range(n_iters):
-        out = pipe(x)
-    jax.block_until_ready(out)
+    outs = [pipe(x) for x in xs]
+    jax.block_until_ready(outs)
     dt = time.perf_counter() - t0
 
+    del outs
     mpix = batch * size * size * n_iters / 1e6
     value = mpix / dt
     print(json.dumps({

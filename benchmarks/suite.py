@@ -17,13 +17,19 @@ import jax
 import jax.numpy as jnp
 
 
-def _timeit(f, *a, n=10):
-    out = f(*a)
-    jax.block_until_ready(out)
+def _timeit(f, *a, n=10, fresh=None):
+    """Time with distinct input buffers per iteration and a sync over ALL
+    outputs — the runtime can elide repeated (executable, operands)
+    launches, which would inflate results.  ``fresh(i)`` builds input i;
+    defaults to adding a distinct constant to the first arg."""
+    if fresh is None:
+        base = a[0]
+        fresh = lambda i: (base + jnp.asarray(i * 1e-6, base.dtype),) + a[1:]
+    args = [fresh(i) for i in range(n)]
+    jax.block_until_ready(f(*args[0]))
     t0 = time.perf_counter()
-    for _ in range(n):
-        out = f(*a)
-    jax.block_until_ready(out)
+    outs = [f(*ar) for ar in args]
+    jax.block_until_ready(outs)
     return (time.perf_counter() - t0) / n
 
 
