@@ -54,22 +54,25 @@ def main():
     batch, size, channels, layers, radius = 16, 512, 16, 10, 2
     dtype = jnp.bfloat16
     rng = np.random.default_rng(1)
-    # distinct input buffers per iteration and a sync over ALL outputs:
-    # the runtime can elide repeated (executable, operands) launches, which
-    # would inflate the number
-    n_iters = 10
-    xs = [jnp.asarray(rng.random((batch, 3, size, size)), jnp.float32)
-          for _ in range(n_iters)]
+    # Trustworthy timing over the tunnelled device: all iterations run
+    # inside ONE jitted lax.map over n DISTINCT stacked inputs (sequential
+    # by construction — no launch elision, no per-iteration dispatch
+    # latency); warmup uses differently-valued buffers.
+    n_iters = 8
+    xs_time = jnp.asarray(rng.random((n_iters, batch, 3, size, size)),
+                          jnp.float32)
+    xs_warm = jnp.asarray(rng.random((n_iters, batch, 3, size, size)),
+                          jnp.float32)
 
-    pipe = jax.jit(build_pipeline(size, channels, layers, radius, dtype))
-    jax.block_until_ready(pipe(xs[0]))  # compile + warm up
+    pipe = build_pipeline(size, channels, layers, radius, dtype)
+    g = jax.jit(lambda xs: jax.lax.map(pipe, xs))
+    jax.block_until_ready(g(xs_warm))  # compile + warm up
 
     t0 = time.perf_counter()
-    outs = [pipe(x) for x in xs]
-    jax.block_until_ready(outs)
+    out = g(xs_time)
+    jax.block_until_ready(out)
     dt = time.perf_counter() - t0
-
-    del outs
+    np.asarray(out[0, 0, 0, :2, 0])  # force materialisation (tiny probe)
     mpix = batch * size * size * n_iters / 1e6
     value = mpix / dt
     print(json.dumps({

@@ -17,20 +17,29 @@ import jax
 import jax.numpy as jnp
 
 
-def _timeit(f, *a, n=10, fresh=None):
-    """Time with distinct input buffers per iteration and a sync over ALL
-    outputs — the runtime can elide repeated (executable, operands)
-    launches, which would inflate results.  ``fresh(i)`` builds input i;
-    defaults to adding a distinct constant to the first arg."""
-    if fresh is None:
-        base = a[0]
-        fresh = lambda i: (base + jnp.asarray(i * 1e-6, base.dtype),) + a[1:]
-    args = [fresh(i) for i in range(n)]
-    jax.block_until_ready(f(*args[0]))
+def _timeit(f, *a, n=10):
+    """Trustworthy timing over a high-latency tunnelled device: run all n
+    iterations inside ONE jitted ``lax.map`` over n DISTINCT stacked inputs
+    (sequential by construction — no launch elision, no per-iteration
+    dispatch latency), warm up on a separately-valued buffer, and fetch a
+    probe element of the stacked outputs."""
+    base = a[0]
+    rest = a[1:]
+    deltas = jnp.arange(1, n + 1, dtype=jnp.float32).reshape(
+        (n,) + (1,) * base.ndim) * 1e-6
+    xs_time = (base[None] + deltas.astype(base.dtype))
+    xs_warm = (base[None] + (2.0 * deltas).astype(base.dtype))
+
+    g = jax.jit(lambda xs: jax.lax.map(lambda x: f(x, *rest), xs))
+    jax.block_until_ready(g(xs_warm))
     t0 = time.perf_counter()
-    outs = [f(*ar) for ar in args]
-    jax.block_until_ready(outs)
-    return (time.perf_counter() - t0) / n
+    out = g(xs_time)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    # touch one element per leaf to force real materialisation
+    for leaf in jax.tree_util.tree_leaves(out):
+        np.asarray(jax.device_get(leaf.ravel()[:1]))
+    return dt / n
 
 
 def bench_roundtrip():
@@ -96,10 +105,11 @@ def bench_video(frames=90):
 
     rng = np.random.default_rng(0)
     h, w = 720, 1280
-    proc = make_frame_processor(h, w)
+    from hygrid_tpu.models.video import make_batch_processor
+    proc = make_batch_processor(h, w)
     stream = (rng.random((3, h, w)).astype(np.float32) for _ in range(frames))
     stats = StreamStats()
-    for _ in process_stream(stream, proc, stats):
+    for _ in process_stream(stream, proc, stats, microbatch=15):
         pass
     print(json.dumps({
         "metric": "720p video: per-frame rect->hex + hex gaussian",

@@ -220,22 +220,35 @@ def _phase_meta_same(radius: int, d: int, q: int):
 
 
 def _stack_layer_kernel(xe_ref, xo_ref, me_ref, mo_ref, be_ref,
-                        oute_ref, outo_ref, *, meta_e, meta_o, wp_out,
-                        relu: bool, has_bias: bool):
+                        oute_ref, outo_ref, *, meta_e, meta_o, h2, wp_out,
+                        relu: bool, has_bias: bool, tail_cut: int):
+    """One packed-domain 'same' layer.  Inputs carry a 1-row/1-packed-col
+    zero margin (indices in ``meta`` are pre-shifted); outputs are written
+    in the SAME margined layout — margins zeroed and the ragged tail pixels
+    masked in-kernel — so layers chain with no host-side re-padding."""
     def run_phase(meta, mref, oref):
-        ho = oref.shape[1]
         lanes = oref.shape[-1]
-        acc = jnp.zeros((ho * wp_out, lanes), jnp.float32)
+        acc = jnp.zeros((h2 * wp_out, lanes), jnp.float32)
         for idx, ((src, r0, sblk), _) in enumerate(meta):
             ref = xe_ref if src == 0 else xo_ref
-            blk = ref[0, r0:r0 + ho, sblk:sblk + wp_out, :]
-            acc = acc + jnp.dot(blk.reshape(ho * wp_out, blk.shape[-1]),
+            blk = ref[0, r0:r0 + h2, sblk:sblk + wp_out, :]
+            acc = acc + jnp.dot(blk.reshape(h2 * wp_out, blk.shape[-1]),
                                 mref[idx], preferred_element_type=jnp.float32)
         if has_bias:
             acc = acc + be_ref[0, :].astype(jnp.float32)
         if relu:
             acc = jnp.maximum(acc, 0.0)
-        oref[0, :, :, :] = acc.reshape(ho, wp_out, lanes).astype(oref.dtype)
+        out = acc.reshape(h2, wp_out, lanes)
+        if tail_cut:
+            # zero the ragged tail pixels of the last packed column so the
+            # next layer's edge reads see proper zero padding (mask built
+            # in-kernel: pallas kernels cannot capture array constants)
+            col_ids = lax.broadcasted_iota(jnp.int32, (wp_out, lanes), 0)
+            lane_ids = lax.broadcasted_iota(jnp.int32, (wp_out, lanes), 1)
+            keep = ~((col_ids == wp_out - 1) & (lane_ids >= tail_cut))
+            out = out * keep.astype(out.dtype)[None]
+        oref[0, :, :, :] = jnp.zeros(oref.shape[1:], oref.dtype)
+        oref[0, 1:1 + h2, 1:1 + wp_out, :] = out.astype(oref.dtype)
 
     run_phase(meta_e, me_ref, oute_ref)
     run_phase(meta_o, mo_ref, outo_ref)
@@ -297,28 +310,34 @@ def hex_conv_stack_pallas(x, kernels, biases=None, *, radius: int,
     xe, xo, wp, qi = pack(x)
     dtype = x.dtype
 
+    # uniform-width stack: every layer shares the same packing and the same
+    # static margins (1 zero row top / 1 zero packed col left, slack at
+    # bottom/right sized by the metas), so layer outputs are emitted in the
+    # margined layout directly and chain with zero host-side repadding
+    qin0 = 128 // chans[0]
+    meta_probe = _phase_meta_same(radius, d, qin0)
+    max_sblk = max(sb for m in meta_probe for ((s, r, sb), _) in m)
+    max_r0 = max(r for m in meta_probe for ((s, r, sb), _) in m)
+    mb = max(0, max_r0 - 1)
+    mcr = max(0, max_sblk - 1)
+    rows_tot = 1 + h2 + mb
+    cols_tot = 1 + wp + mcr
+
+    def with_margins(v):
+        return jnp.pad(v, ((0, 0), (1, mb), (1, mcr), (0, 0)))
+
+    xe, xo = with_margins(xe), with_margins(xo)
+
     for li, kern in enumerate(kernels):
         cin = chans[li]
         cout = chans[li + 1]
         qin = 128 // cin
         qout = 128 // cout
-        wpo = -(-w // qout)
-        meta_e, meta_o = _phase_meta_same(radius, d, qin)
         if qout != qin:
-            # repack between different widths via unpack/pack (rare)
             raise NotImplementedError(
                 "mixed channel widths in one packed stack not supported yet")
-        wp_out = wpo
-        max_sblk = max(sb for m in (meta_e, meta_o) for ((s, r, sb), _) in m)
-        max_r0 = max(r for m in (meta_e, meta_o) for ((s, r, sb), _) in m)
-        # extend planes: 1 zero row top, enough rows bottom, 1 zero packed
-        # col left, enough right
-        rows_need = max_r0 + h2
-        cols_need = max_sblk + wp_out
-        def extend(v):
-            return jnp.pad(v, ((0, 0), (1, max(0, rows_need - (h2 + 1))),
-                               (1, max(0, cols_need - (wp + 1))), (0, 0)))
-        xe_x, xo_x = extend(xe), extend(xo)
+        wp_out = -(-w // qout)
+        meta_e, meta_o = _phase_meta_same(radius, d, qin)
 
         me = _assemble_mats(kern, meta_e, qin, cin, cout, dtype)
         mo = _assemble_mats(kern, meta_o, qin, cin, cout, dtype)
@@ -326,11 +345,13 @@ def hex_conv_stack_pallas(x, kernels, biases=None, *, radius: int,
         bvec = (jnp.tile(biases[li], qout) if has_bias
                 else jnp.zeros((qout * cout,), dtype))[None]
 
+        tail_cut = (w % qout) * cout if (w % qout) else 0
+
         layer_relu = relu and (final_activation or li < len(kernels) - 1)
         kfn = functools.partial(
-            _stack_layer_kernel, meta_e=meta_e, meta_o=meta_o,
-            wp_out=wp_out, relu=layer_relu, has_bias=has_bias)
-        rows_tot, cols_tot = xe_x.shape[1], xe_x.shape[2]
+            _stack_layer_kernel, meta_e=meta_e, meta_o=meta_o, h2=h2,
+            wp_out=wp_out, relu=layer_relu, has_bias=has_bias,
+            tail_cut=tail_cut)
         xe, xo = pl.pallas_call(
             kfn,
             grid=(b,),
@@ -347,31 +368,24 @@ def hex_conv_stack_pallas(x, kernels, biases=None, *, radius: int,
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec((1, h2, wp_out, 128), lambda i: (i, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, h2, wp_out, 128), lambda i: (i, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, rows_tot, cols_tot, 128),
+                             lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, rows_tot, cols_tot, 128),
+                             lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((b, h2, wp_out, 128), dtype),
-                jax.ShapeDtypeStruct((b, h2, wp_out, 128), dtype),
+                jax.ShapeDtypeStruct((b, rows_tot, cols_tot, 128), dtype),
+                jax.ShapeDtypeStruct((b, rows_tot, cols_tot, 128), dtype),
             ],
             interpret=jax.default_backend() != "tpu",
-        )(xe_x, xo_x, me, mo, bvec)
-        if w % qout:
-            # zero the tail pixels of the last packed column so the next
-            # layer's edge reads see proper zero padding
-            mask = np.ones((1, 1, 1, qout * cout), np.float32)
-            mask[..., (w % qout) * cout:] = 0.0
-            mask = jnp.asarray(mask, dtype)
-            xe = xe.at[:, :, -1:].multiply(mask)
-            xo = xo.at[:, :, -1:].multiply(mask)
+        )(xe, xo, me, mo, bvec)
         wp = wp_out
 
-    # unpack
+    # unpack (strip margins first)
     cout = chans[-1]
     qout = 128 // cout
     def unpack(v):
+        v = v[:, 1:1 + h2, 1:1 + wp]
         return v.reshape(b, h2, wp * qout, cout)[:, :, :w]
     ye, yo = unpack(xe), unpack(xo)
     out = jnp.zeros((b, h, w, cout), dtype)

@@ -1,7 +1,8 @@
 """Built-in hex model families and training utilities."""
 from .hexcnn import HexCNN, HexConvNeXtBlock, hexcnn_small, hexcnn_tiny
 from .hexunet import HexUNet, HexConvTranspose2d, HexPixelShuffleUpsample
-from .video import make_frame_processor, process_stream, StreamStats
+from .video import (make_frame_processor, make_batch_processor,
+                    process_stream, StreamStats)
 from .train import (
     TrainState,
     create_train_state,
@@ -17,6 +18,7 @@ __all__ = [
     "HexConvTranspose2d",
     "HexPixelShuffleUpsample",
     "make_frame_processor",
+    "make_batch_processor",
     "process_stream",
     "StreamStats",
     "HexConvNeXtBlock",

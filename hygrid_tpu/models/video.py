@@ -17,7 +17,8 @@ import jax.numpy as jnp
 from ..ops import geometry
 from ..nn import filters
 
-__all__ = ["make_frame_processor", "process_stream", "StreamStats"]
+__all__ = ["make_frame_processor", "make_batch_processor", "process_stream",
+           "StreamStats"]
 
 
 def make_frame_processor(height: int, width: int,
@@ -57,21 +58,71 @@ class StreamStats:
         return self.frames / self.seconds if self.seconds else float("inf")
 
 
+def make_batch_processor(height: int, width: int,
+                         hex_size: Optional[Tuple[int, int]] = None,
+                         interpolation: str = "bilinear",
+                         filter_taps=None,
+                         post: Optional[Callable] = None):
+    """Batched variant of :func:`make_frame_processor`: (B, C, H, W) in,
+    processed hex frames out.  Use with ``process_stream(microbatch=k)`` to
+    amortise per-dispatch latency (essential over high-latency device
+    links)."""
+    if hex_size is None:
+        hex_size = (height // 2, width // 2)
+    if filter_taps is None:
+        filter_taps = filters.hex_gaussian_kernel(1.0)
+
+    @jax.jit
+    def process(batch):
+        hexed = geometry.rect_to_hex_resample(batch, hex_size, interpolation)
+        out = filters.hex_filter(hexed, filter_taps)
+        if post is not None:
+            out = post(out)
+        return out
+
+    return process
+
+
 def process_stream(frames: Iterable[np.ndarray], processor,
-                   stats: Optional[StreamStats] = None) -> Iterator:
-    """Run the processor over a frame iterable with one frame of device
-    pipelining (dispatch is async; we only block one result behind)."""
+                   stats: Optional[StreamStats] = None,
+                   depth: int = 8, microbatch: int = 1) -> Iterator:
+    """Run the processor over a frame iterable with ``depth`` frames of
+    device pipelining: dispatch is async, so keeping several results in
+    flight hides per-frame host<->device round-trip latency (essential over
+    high-latency links) while preserving frame order."""
+    from collections import deque
     stats = stats if stats is not None else StreamStats()
     t0 = time.perf_counter()
-    pending = None
+    pending: deque = deque()
     n = 0
-    for frame in frames:
-        out = processor(jnp.asarray(frame))
-        if pending is not None:
-            yield jax.block_until_ready(pending)
-        pending = out
-        n += 1
-    if pending is not None:
-        yield jax.block_until_ready(pending)
+
+    def drain_one():
+        item = pending.popleft()
+        out = jax.block_until_ready(item)
+        if microbatch > 1:
+            yield from out
+        else:
+            yield out
+
+    if microbatch > 1:
+        buf = []
+        for frame in frames:
+            buf.append(np.asarray(frame))
+            n += 1
+            if len(buf) == microbatch:
+                pending.append(processor(jnp.asarray(np.stack(buf))))
+                buf = []
+                if len(pending) > depth:
+                    yield from drain_one()
+        if buf:
+            pending.append(processor(jnp.asarray(np.stack(buf))))
+    else:
+        for frame in frames:
+            pending.append(processor(jnp.asarray(frame)))
+            n += 1
+            if len(pending) > depth:
+                yield from drain_one()
+    while pending:
+        yield from drain_one()
     stats.frames = n
     stats.seconds = time.perf_counter() - t0

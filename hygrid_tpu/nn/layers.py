@@ -54,7 +54,7 @@ class HexConv2d(nn.Module):
     use_bias: bool = True
     padding_mode: str = "constant"
     padding_value: float = 0.0
-    impl: str = "direct"
+    impl: str = "auto"
     param_dtype: jnp.dtype = jnp.float32
 
     @property

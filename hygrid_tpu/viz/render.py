@@ -136,11 +136,16 @@ def render_mosaic(hex_image, out_size: Tuple[int, int],
         _PLAN_CACHE[key] = mosaic_plan(h, w, out_h, out_w, even_odd_offset,
                                        view)
     flat, mask = _PLAN_CACHE[key]
-    flat_img = img.reshape(img.shape[:-2] + (h * w,))
-    frame = flat_img[..., jnp.asarray(flat.reshape(-1))]
-    frame = frame.reshape(img.shape[:-2] + (out_h, out_w))
-    m = jnp.asarray(mask)
-    if jnp.issubdtype(frame.dtype, jnp.integer):
-        return (frame * m.astype(frame.dtype)
-                + jnp.asarray(background, frame.dtype) * (1 - m).astype(frame.dtype))
-    return frame * m + background * (1 - m)
+    # ride the resampling engine: exact-select plan -> fused Pallas
+    # gather-interpolate kernel on TPU (sampling.apply_plan_auto)
+    from ..ops.sampling import SamplePlan, apply_plan_auto
+    plan = SamplePlan(flat[None], mask[None], (h, w), (out_h, out_w),
+                      exact_select=False)
+    frame = apply_plan_auto(img.astype(jnp.float32) if
+                            jnp.issubdtype(img.dtype, jnp.integer) else img,
+                            plan)
+    if background:
+        m = jnp.asarray(mask)
+        frame = frame + background * (1 - m)
+    return frame.astype(img.dtype if jnp.issubdtype(img.dtype, jnp.floating)
+                        else jnp.float32)

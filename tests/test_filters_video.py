@@ -68,3 +68,21 @@ class TestVideo:
             32, 32, post=lambda h: jnp.mean(h, axis=(2, 3)))
         out = proc(jnp.ones((3, 32, 32)))
         assert out.shape == (3,)
+
+
+class TestVideoMicrobatch:
+    def test_microbatch_stream(self):
+        import numpy as np
+        from hygrid_tpu.models.video import make_batch_processor
+        rng = np.random.default_rng(1)
+        proc = make_batch_processor(16, 16)
+        frames = [rng.random((3, 16, 16)).astype(np.float32)
+                  for _ in range(7)]
+        stats = StreamStats()
+        outs = list(process_stream(iter(frames), proc, stats, microbatch=3))
+        assert len(outs) == 7
+        assert stats.frames == 7
+        # microbatched results equal per-frame results
+        single = make_frame_processor(16, 16)
+        np.testing.assert_allclose(np.asarray(outs[0]),
+                                   np.asarray(single(frames[0])), atol=1e-5)
