@@ -54,25 +54,30 @@ def main():
     batch, size, channels, layers, radius = 16, 512, 16, 10, 2
     dtype = jnp.bfloat16
     rng = np.random.default_rng(1)
-    # Trustworthy timing over the tunnelled device: all iterations run
-    # inside ONE jitted lax.map over n DISTINCT stacked inputs (sequential
-    # by construction — no launch elision, no per-iteration dispatch
-    # latency); warmup uses differently-valued buffers.
-    n_iters = 8
+    # Airtight timing over the tunnelled device: all iterations run inside
+    # ONE jitted lax.scan over n DISTINCT stacked inputs (sequential by
+    # construction — no launch elision, no per-iteration dispatch latency),
+    # every iteration's output fully reduced into a carried scalar that is
+    # FETCHED inside the timed region, so nothing can be deferred.  The one
+    # dispatch+fetch round trip amortises over n.
+    n_iters = 24
     xs_time = jnp.asarray(rng.random((n_iters, batch, 3, size, size)),
                           jnp.float32)
     xs_warm = jnp.asarray(rng.random((n_iters, batch, 3, size, size)),
                           jnp.float32)
 
     pipe = build_pipeline(size, channels, layers, radius, dtype)
-    g = jax.jit(lambda xs: jax.lax.map(pipe, xs))
-    jax.block_until_ready(g(xs_warm))  # compile + warm up
+
+    def step(c, x):
+        return c + jnp.sum(pipe(x)), None
+
+    g = jax.jit(lambda xs: jax.lax.scan(step, 0.0, xs)[0])
+    float(g(xs_warm))  # compile + warm up + fetch
 
     t0 = time.perf_counter()
-    out = g(xs_time)
-    jax.block_until_ready(out)
+    val = float(g(xs_time))
     dt = time.perf_counter() - t0
-    np.asarray(out[0, 0, 0, :2, 0])  # force materialisation (tiny probe)
+    assert np.isfinite(val)
     mpix = batch * size * size * n_iters / 1e6
     value = mpix / dt
     print(json.dumps({

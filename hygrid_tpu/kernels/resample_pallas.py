@@ -59,12 +59,27 @@ def rowsep_decompose(plan: SamplePlan):
     delta = rows - base[None, :, None]
     if np.any(valid & ((delta < 0) | (delta > 1))):
         return None
-    out_cols = np.zeros((2, k, h1, w1), np.int32)
-    out_wts = np.zeros((2, k, h1, w1), np.float32)
+    # keep only slots that carry any weight for the given row-part
+    # (e.g. bilinear rect plans use terms {p1,p2} for d=0 and {p3,p4} for
+    # d=1 — dropping the dead half halves the kernel's one-hot builds)
+    per_d = []
     for d in (0, 1):
         sel = valid & (delta == d)
-        out_cols[d] = np.where(sel, cols, 0)
-        out_wts[d] = np.where(sel, plan.weights, 0.0)
+        c_list, w_list = [], []
+        for kk in range(k):
+            wk = np.where(sel[kk], plan.weights[kk], 0.0)
+            if np.any(wk):
+                c_list.append(np.where(sel[kk], cols[kk], 0))
+                w_list.append(wk)
+        per_d.append((c_list, w_list))
+    kd = max(1, max(len(c) for c, _ in per_d))
+    out_cols = np.zeros((2, kd, h1, w1), np.int32)
+    out_wts = np.zeros((2, kd, h1, w1), np.float32)
+    for d in (0, 1):
+        c_list, w_list = per_d[d]
+        for i, (c, wv) in enumerate(zip(c_list, w_list)):
+            out_cols[d, i] = c
+            out_wts[d, i] = wv
     return base.astype(np.int32), out_cols, out_wts
 
 
@@ -107,7 +122,7 @@ def apply_plan_pallas(image, plan: SamplePlan, tile_rows: int = 8):
         return apply_plan(image, plan)
     rowbase, cols, wts = dec
     h, w = plan.src_shape
-    k, h1, w1 = plan.idx.shape
+    _, k, h1, w1 = cols.shape
 
     image = jnp.asarray(image)
     lead = image.shape[:-2]
