@@ -17,12 +17,13 @@ import jax
 import jax.numpy as jnp
 
 
-def _timeit(f, *a, n=10):
-    """Trustworthy timing over a high-latency tunnelled device: run all n
-    iterations inside ONE jitted ``lax.map`` over n DISTINCT stacked inputs
-    (sequential by construction — no launch elision, no per-iteration
-    dispatch latency), warm up on a separately-valued buffer, and fetch a
-    probe element of the stacked outputs."""
+def _timeit(f, *a, n=16):
+    """Airtight timing over a high-latency tunnelled device: all n
+    iterations run inside ONE jitted ``lax.scan`` over n DISTINCT stacked
+    inputs; every iteration's output is fully reduced into a carried
+    scalar that is FETCHED inside the timed region, so no launch can be
+    elided or deferred.  The single dispatch+fetch round trip (measured
+    ~30ms through the tunnel) amortises over n."""
     base = a[0]
     rest = a[1:]
     deltas = jnp.arange(1, n + 1, dtype=jnp.float32).reshape(
@@ -30,15 +31,18 @@ def _timeit(f, *a, n=10):
     xs_time = (base[None] + deltas.astype(base.dtype))
     xs_warm = (base[None] + (2.0 * deltas).astype(base.dtype))
 
-    g = jax.jit(lambda xs: jax.lax.map(lambda x: f(x, *rest), xs))
-    jax.block_until_ready(g(xs_warm))
+    def step(c, x):
+        out = f(x, *rest)
+        s = sum(jnp.sum(l.astype(jnp.float32))
+                for l in jax.tree_util.tree_leaves(out))
+        return c + s, None
+
+    g = jax.jit(lambda xs: jax.lax.scan(step, 0.0, xs)[0])
+    float(g(xs_warm))
     t0 = time.perf_counter()
-    out = g(xs_time)
-    jax.block_until_ready(out)
+    val = float(g(xs_time))
     dt = time.perf_counter() - t0
-    # touch one element per leaf to force real materialisation
-    for leaf in jax.tree_util.tree_leaves(out):
-        np.asarray(jax.device_get(leaf.ravel()[:1]))
+    assert np.isfinite(val)
     return dt / n
 
 
