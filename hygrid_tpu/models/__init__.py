@@ -3,6 +3,7 @@ from .hexcnn import HexCNN, HexConvNeXtBlock, hexcnn_small, hexcnn_tiny
 from .hexunet import HexUNet, HexConvTranspose2d, HexPixelShuffleUpsample
 from .video import (make_frame_processor, make_batch_processor,
                     process_stream, StreamStats)
+from .fit import fit
 from .train import (
     TrainState,
     create_train_state,
@@ -24,6 +25,7 @@ __all__ = [
     "HexConvNeXtBlock",
     "hexcnn_small",
     "hexcnn_tiny",
+    "fit",
     "TrainState",
     "create_train_state",
     "train_step",

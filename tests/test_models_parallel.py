@@ -186,3 +186,36 @@ class TestParallel:
                                            radius=2, padding=1))
         got = np.asarray(f(xs))
         np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+class TestFit:
+    def test_fit_trains_and_logs(self, tmp_path):
+        from hygrid_tpu.models import fit, hexcnn_tiny, synthetic_hex_cifar
+        rng = np.random.default_rng(0)
+        x, y = synthetic_hex_cifar(rng, 32)
+        batches = [(np.asarray(x[i:i + 8]), np.asarray(y[i:i + 8]))
+                   for i in range(0, 32, 8)]
+        model = hexcnn_tiny(norm=None)
+        state, hist = fit(model, batches, num_epochs=3,
+                          eval_data=batches[:1], log_every=2,
+                          checkpoint_path=str(tmp_path / "ck"))
+        assert hist["loss"] and hist["eval_loss"]
+        assert hist["loss"][-1] < hist["loss"][0] * 1.5
+        import os
+        assert os.path.exists(tmp_path / "ck_e0.npz")
+
+    def test_fit_on_mesh_matches_shapes(self):
+        from hygrid_tpu.models import fit, hexcnn_tiny, synthetic_hex_cifar
+        rng = np.random.default_rng(1)
+        x, y = synthetic_hex_cifar(rng, 16)
+        batches = [(np.asarray(x), np.asarray(y))]
+        mesh = parallel.create_mesh({"dp": 8})
+        model = hexcnn_tiny(norm=None)
+        state, hist = fit(model, batches, num_epochs=1, mesh=mesh,
+                          log_every=1)
+        assert hist["loss"]
+
+    def test_host_local_batch_slice(self):
+        from hygrid_tpu.parallel import host_local_batch_slice
+        sl = host_local_batch_slice(32)
+        assert sl == slice(0, 32)  # single process
