@@ -254,10 +254,70 @@ def _stack_layer_kernel(xe_ref, xo_ref, me_ref, mo_ref, be_ref,
     run_phase(meta_o, mo_ref, outo_ref)
 
 
+def _fused_stack_kernel(xe_ref, xo_ref, me_ref, mo_ref, b_ref,
+                        oute_ref, outo_ref, ae, ao, be, bo, *, meta_e,
+                        meta_o, n_layers, h2, wp_out, relus, tail_cut):
+    """The ENTIRE uniform conv stack for one batch element, in VMEM.
+
+    Schedule: in -> A -> B -> A -> ... -> out.  The out refs alias the in
+    refs (input_output_aliases), read only by layer 0 and written only by
+    the last layer, so inter-layer activations never touch HBM; all layer
+    weights are resident (tiny Kronecker blocks).
+    """
+    lanes = oute_ref.shape[-1]
+
+    def store(dst, interior, is4d):
+        z = jnp.zeros(dst.shape[1:] if is4d else dst.shape, dst.dtype)
+        if is4d:
+            dst[0, :, :, :] = z
+            dst[0, 1:1 + h2, 1:1 + wp_out, :] = interior.astype(dst.dtype)
+        else:
+            dst[:, :, :] = z
+            dst[1:1 + h2, 1:1 + wp_out, :] = interior.astype(dst.dtype)
+
+    def read(src, is4d, r0, sblk):
+        if is4d:
+            return src[0, r0:r0 + h2, sblk:sblk + wp_out, :]
+        return src[r0:r0 + h2, sblk:sblk + wp_out, :]
+
+    def run_layer(l, se, so, s4, de, do, d4):
+        for meta, mref, dst in ((meta_e, me_ref, de), (meta_o, mo_ref, do)):
+            acc = jnp.zeros((h2 * wp_out, lanes), jnp.float32)
+            for idx, ((src, r0, sblk), _) in enumerate(meta):
+                ref = se if src == 0 else so
+                blk = read(ref, s4, r0, sblk)
+                acc = acc + jnp.dot(blk.reshape(h2 * wp_out, blk.shape[-1]),
+                                    mref[l, idx],
+                                    preferred_element_type=jnp.float32)
+            acc = acc + b_ref[l, :].astype(jnp.float32)
+            if relus[l]:
+                acc = jnp.maximum(acc, 0.0)
+            out = acc.reshape(h2, wp_out, lanes)
+            if tail_cut:
+                col_ids = lax.broadcasted_iota(jnp.int32, (wp_out, lanes), 0)
+                lane_ids = lax.broadcasted_iota(jnp.int32, (wp_out, lanes), 1)
+                keep = ~((col_ids == wp_out - 1) & (lane_ids >= tail_cut))
+                out = out * keep.astype(out.dtype)[None]
+            store(dst, out, d4)
+
+    prev = None  # (se, so, is4d)
+    for l in range(n_layers):
+        src = (xe_ref, xo_ref, True) if l == 0 else prev
+        if l == n_layers - 1:
+            dst = (oute_ref, outo_ref, True)
+        elif l % 2 == 0:
+            dst = (ae, ao, False)
+        else:
+            dst = (be, bo, False)
+        run_layer(l, *src, *dst)
+        prev = dst
+
+
 def hex_conv_stack_pallas(x, kernels, biases=None, *, radius: int,
                           even_odd_offset: int = 0, dilation: int = 1,
                           activation: str = "relu",
-                          final_activation: bool = True):
+                          final_activation: bool = True,
+                          fused: bool = False):
     """A chain of 'same' hex convolutions fully in the packed domain.
 
     Packs once, runs every layer as one fused Pallas kernel (all Kronecker
@@ -327,6 +387,66 @@ def hex_conv_stack_pallas(x, kernels, biases=None, *, radius: int,
         return jnp.pad(v, ((0, 0), (1, mb), (1, mcr), (0, 0)))
 
     xe, xo = with_margins(xe), with_margins(xo)
+
+    uniform = all(c == chans[0] for c in chans)
+    if fused and uniform and len(kernels) >= 2:
+        c0 = chans[0]
+        q0 = 128 // c0
+        wp_out = -(-w // q0)
+        meta_e, meta_o = _phase_meta_same(radius, d, q0)
+        me_all = jnp.stack([_assemble_mats(k, meta_e, q0, c0, c0, dtype)
+                            for k in kernels])
+        mo_all = jnp.stack([_assemble_mats(k, meta_o, q0, c0, c0, dtype)
+                            for k in kernels])
+        bias_all = jnp.stack([
+            (jnp.tile(bs, q0) if bs is not None
+             else jnp.zeros((q0 * c0,), dtype)).astype(dtype)
+            for bs in biases])
+        L = len(kernels)
+        relus = tuple(relu and (final_activation or li < L - 1)
+                      for li in range(L))
+        tail_cut = (w % q0) * c0 if (w % q0) else 0
+        kfn = functools.partial(
+            _fused_stack_kernel, meta_e=meta_e, meta_o=meta_o, n_layers=L,
+            h2=h2, wp_out=wp_out, relus=relus, tail_cut=tail_cut)
+        n_mats = len(meta_e)
+        xe, xo = pl.pallas_call(
+            kfn,
+            grid=(b,),
+            in_specs=[
+                pl.BlockSpec((1, rows_tot, cols_tot, 128),
+                             lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, rows_tot, cols_tot, 128),
+                             lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((L, n_mats, 128, q0 * c0),
+                             lambda i: (0, 0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((L, len(meta_o), 128, q0 * c0),
+                             lambda i: (0, 0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((L, q0 * c0), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, rows_tot, cols_tot, 128),
+                             lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, rows_tot, cols_tot, 128),
+                             lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((b, rows_tot, cols_tot, 128), dtype),
+                jax.ShapeDtypeStruct((b, rows_tot, cols_tot, 128), dtype),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((rows_tot, cols_tot, 128), dtype),
+                pltpu.VMEM((rows_tot, cols_tot, 128), dtype),
+                pltpu.VMEM((rows_tot, cols_tot, 128), dtype),
+                pltpu.VMEM((rows_tot, cols_tot, 128), dtype),
+            ],
+            input_output_aliases={0: 0, 1: 1},
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=int(30 * 2 ** 20)),
+            interpret=jax.default_backend() != "tpu",
+        )(xe, xo, me_all, mo_all, bias_all)
+        kernels = []  # layers consumed by the fused kernel
 
     for li, kern in enumerate(kernels):
         cin = chans[li]

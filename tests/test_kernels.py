@@ -114,3 +114,20 @@ def test_pallas_grad_flows():
     e = jnp.zeros_like(k).at[3, 5, 2].set(eps)
     fd = (loss(k + e) - loss(k - e)) / (2 * eps)
     np.testing.assert_allclose(float(fd), float(g[3, 5, 2]), rtol=2e-2)
+
+
+@pytest.mark.parametrize("C,r,L,h,w,bias_on", [
+    (16, 2, 3, 16, 16, True),
+    (16, 2, 4, 18, 13, False),
+    (32, 3, 2, 12, 10, True),
+])
+def test_fused_stack_matches_per_layer(C, r, L, h, w, bias_on):
+    rng = np.random.default_rng(C + L)
+    x = rng.random((2, C, h, w)).astype(np.float32)
+    ks = [(rng.random((C, C, F.hex_kernel_num(r))) - 0.5).astype(np.float32)
+          for _ in range(L)]
+    bs = ([rng.random(C).astype(np.float32) for _ in range(L)]
+          if bias_on else None)
+    a = np.asarray(hex_conv_stack_pallas(x, ks, bs, radius=r))
+    f = np.asarray(hex_conv_stack_pallas(x, ks, bs, radius=r, fused=True))
+    np.testing.assert_allclose(a, f, atol=1e-5)
