@@ -10,6 +10,12 @@ imports), this package curates a public namespace.
 """
 from . import lattice
 from . import compat  # noqa: F401  (reference API shims)
+from . import nn  # noqa: F401
+from . import models  # noqa: F401
+from . import parallel  # noqa: F401
+from . import viz  # noqa: F401
+from . import utils  # noqa: F401
+from .image import IMAGE, HEXIMAGE
 from .lattice import HexSpec
 from .ops import (
     image_geometric_transformation,
@@ -29,6 +35,14 @@ __version__ = "0.1.0"
 
 __all__ = [
     "lattice",
+    "compat",
+    "nn",
+    "models",
+    "parallel",
+    "viz",
+    "utils",
+    "IMAGE",
+    "HEXIMAGE",
     "HexSpec",
     "image_geometric_transformation",
     "hex_to_rect_resample",

@@ -46,7 +46,10 @@ class HexCNN(nn.Module):
     def __call__(self, x, train: bool = False):
         x = jnp.asarray(x, self.dtype)
         cin = x.shape[1]
-        norm_cfg = dict(type=self.norm) if self.norm else None
+        if self.norm == "GN":
+            norm_cfg = dict(type="GN", num_groups=8)
+        else:
+            norm_cfg = dict(type=self.norm) if self.norm else None
         for stage, width in enumerate(self.channels):
             for d in range(self.depth):
                 x = HexConvModule(

@@ -98,7 +98,9 @@ class _ChannelFirstNorm(nn.Module):
             return norm(x)
         xl = jnp.moveaxis(x, 1, -1)
         if self.norm_type == "GN":
-            xl = nn.GroupNorm(num_groups=self.num_groups, epsilon=self.eps,
+            import math as _math
+            groups = _math.gcd(self.num_groups, self.num_features)
+            xl = nn.GroupNorm(num_groups=groups, epsilon=self.eps,
                               use_bias=self.affine, use_scale=self.affine)(xl)
         elif self.norm_type == "LN":
             xl = nn.LayerNorm(epsilon=self.eps, use_bias=self.affine,
