@@ -19,7 +19,6 @@ XLA path remains the fallback (``apply_plan``).
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
 
 import numpy as np
 import jax

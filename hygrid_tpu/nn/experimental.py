@@ -16,13 +16,10 @@ import math
 from typing import Optional
 
 import numpy as np
-import jax
 import jax.numpy as jnp
-from jax import lax
 
-from .functional import (pad2d, hex_kernel_num, _hex_kernel_rows,
-                         _merge_phases, _conv, _reduction,
-                         max_pooling, min_pooling, average_pooling)
+from .functional import (pad2d, _hex_kernel_rows, _merge_phases, _conv,
+                         _reduction)
 from ..ops.convert import heximage_to_type1, type1_to_heximage
 
 __all__ = [

@@ -23,11 +23,9 @@ is static-shaped.
 from __future__ import annotations
 
 import math
-from functools import partial
-from typing import Optional, Sequence, Tuple, Union
+from typing import Tuple
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 from jax import lax
 

@@ -8,7 +8,7 @@ reference for 1:1 porting.
 from __future__ import annotations
 
 import math
-from typing import Optional, Union
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -26,7 +26,6 @@ import dataclasses
 from typing import Tuple
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from .. import lattice
