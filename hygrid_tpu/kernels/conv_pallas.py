@@ -220,24 +220,26 @@ def _phase_meta_same(radius: int, d: int, q: int):
 
 def _stack_layer_kernel(xe_ref, xo_ref, me_ref, mo_ref, be_ref,
                         oute_ref, outo_ref, *, meta_e, meta_o, h2, wp_out,
-                        relu: bool, has_bias: bool, tail_cut: int):
+                        relu: bool, has_bias: bool, tail_cut: int,
+                        bg: int = 1):
     """One packed-domain 'same' layer.  Inputs carry a 1-row/1-packed-col
     zero margin (indices in ``meta`` are pre-shifted); outputs are written
     in the SAME margined layout — margins zeroed and the ragged tail pixels
-    masked in-kernel — so layers chain with no host-side re-padding."""
+    masked in-kernel — so layers chain with no host-side re-padding.
+    ``bg`` batch elements share each grid step (bigger matmul M-dim)."""
     def run_phase(meta, mref, oref):
         lanes = oref.shape[-1]
-        acc = jnp.zeros((h2 * wp_out, lanes), jnp.float32)
+        acc = jnp.zeros((bg * h2 * wp_out, lanes), jnp.float32)
         for idx, ((src, r0, sblk), _) in enumerate(meta):
             ref = xe_ref if src == 0 else xo_ref
-            blk = ref[0, r0:r0 + h2, sblk:sblk + wp_out, :]
-            acc = acc + jnp.dot(blk.reshape(h2 * wp_out, blk.shape[-1]),
+            blk = ref[0:bg, r0:r0 + h2, sblk:sblk + wp_out, :]
+            acc = acc + jnp.dot(blk.reshape(bg * h2 * wp_out, blk.shape[-1]),
                                 mref[idx], preferred_element_type=jnp.float32)
         if has_bias:
             acc = acc + be_ref[0, :].astype(jnp.float32)
         if relu:
             acc = jnp.maximum(acc, 0.0)
-        out = acc.reshape(h2, wp_out, lanes)
+        out = acc.reshape(bg, h2, wp_out, lanes)
         if tail_cut:
             # zero the ragged tail pixels of the last packed column so the
             # next layer's edge reads see proper zero padding (mask built
@@ -245,9 +247,9 @@ def _stack_layer_kernel(xe_ref, xo_ref, me_ref, mo_ref, be_ref,
             col_ids = lax.broadcasted_iota(jnp.int32, (wp_out, lanes), 0)
             lane_ids = lax.broadcasted_iota(jnp.int32, (wp_out, lanes), 1)
             keep = ~((col_ids == wp_out - 1) & (lane_ids >= tail_cut))
-            out = out * keep.astype(out.dtype)[None]
-        oref[0, :, :, :] = jnp.zeros(oref.shape[1:], oref.dtype)
-        oref[0, 1:1 + h2, 1:1 + wp_out, :] = out.astype(oref.dtype)
+            out = out * keep.astype(out.dtype)[None, None]
+        oref[0:bg, :, :, :] = jnp.zeros((bg,) + oref.shape[1:], oref.dtype)
+        oref[0:bg, 1:1 + h2, 1:1 + wp_out, :] = out.astype(oref.dtype)
 
     run_phase(meta_e, me_ref, oute_ref)
     run_phase(meta_o, mo_ref, outo_ref)
@@ -467,17 +469,19 @@ def hex_conv_stack_pallas(x, kernels, biases=None, *, radius: int,
         tail_cut = (w % qout) * cout if (w % qout) else 0
 
         layer_relu = relu and (final_activation or li < len(kernels) - 1)
+        bg = 2 if (b % 2 == 0 and rows_tot * cols_tot * 128 * 2 *
+                   x.dtype.itemsize <= 2 ** 22) else 1
         kfn = functools.partial(
             _stack_layer_kernel, meta_e=meta_e, meta_o=meta_o, h2=h2,
             wp_out=wp_out, relu=layer_relu, has_bias=has_bias,
-            tail_cut=tail_cut)
+            tail_cut=tail_cut, bg=bg)
         xe, xo = pl.pallas_call(
             kfn,
-            grid=(b,),
+            grid=(b // bg,),
             in_specs=[
-                pl.BlockSpec((1, rows_tot, cols_tot, 128),
+                pl.BlockSpec((bg, rows_tot, cols_tot, 128),
                              lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, rows_tot, cols_tot, 128),
+                pl.BlockSpec((bg, rows_tot, cols_tot, 128),
                              lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((len(meta_e), 128, qout * cout),
                              lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
@@ -487,9 +491,9 @@ def hex_conv_stack_pallas(x, kernels, biases=None, *, radius: int,
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec((1, rows_tot, cols_tot, 128),
+                pl.BlockSpec((bg, rows_tot, cols_tot, 128),
                              lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, rows_tot, cols_tot, 128),
+                pl.BlockSpec((bg, rows_tot, cols_tot, 128),
                              lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
             ],
             out_shape=[

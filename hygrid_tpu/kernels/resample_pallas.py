@@ -84,7 +84,7 @@ def rowsep_decompose(plan: SamplePlan):
 
 def pallas_resample_applicable(plan: SamplePlan, n_lead: int,
                                elem_bytes: int = 4,
-                               vmem_budget: int = 4 * 2**20) -> bool:
+                               vmem_budget: int = 8 * 2**20) -> bool:
     h, w = plan.src_shape
     return (h >= 2 and h * w * elem_bytes <= vmem_budget
             and rowsep_decompose(plan) is not None)
@@ -130,9 +130,11 @@ def apply_plan_pallas(image, plan: SamplePlan, tile_rows: int = 8):
     out_dtype = (image.dtype if jnp.issubdtype(image.dtype, jnp.floating)
                  else jnp.float32)
 
-    # group leading planes so one group's source slab fits VMEM
+    # group leading planes so one group's source slab fits VMEM; a larger
+    # group raises the matmul M-dim (MXU utilisation), paid for by a raised
+    # scoped-vmem limit below
     esz = image.dtype.itemsize
-    budget = 4 * 2**20
+    budget = 8 * 2**20
     gb = max(1, min(bc, budget // max(1, h * w * esz)))
     pad_bc = (-bc) % gb
     if pad_bc:
@@ -163,6 +165,8 @@ def apply_plan_pallas(image, plan: SamplePlan, tile_rows: int = 8):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((bc + pad_bc, (h1 + pad_h1), w1),
                                        out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(30 * 2 ** 20)),
         interpret=jax.default_backend() != "tpu",
     )(jnp.asarray(rowbase), jnp.asarray(cols)[None],
       jnp.asarray(wts)[None], src)
