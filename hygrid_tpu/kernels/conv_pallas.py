@@ -469,8 +469,12 @@ def hex_conv_stack_pallas(x, kernels, biases=None, *, radius: int,
         tail_cut = (w % qout) * cout if (w % qout) else 0
 
         layer_relu = relu and (final_activation or li < len(kernels) - 1)
-        bg = 2 if (b % 2 == 0 and rows_tot * cols_tot * 128 * 2 *
-                   x.dtype.itemsize <= 2 ** 22) else 1
+        blk_bytes = rows_tot * cols_tot * 128 * x.dtype.itemsize
+        bg = 1
+        for cand in (4, 2):
+            if b % cand == 0 and blk_bytes * cand <= 2 ** 22:
+                bg = cand
+                break
         kfn = functools.partial(
             _stack_layer_kernel, meta_e=meta_e, meta_o=meta_o, h2=h2,
             wp_out=wp_out, relu=layer_relu, has_bias=has_bias,
@@ -500,6 +504,8 @@ def hex_conv_stack_pallas(x, kernels, biases=None, *, radius: int,
                 jax.ShapeDtypeStruct((b, rows_tot, cols_tot, 128), dtype),
                 jax.ShapeDtypeStruct((b, rows_tot, cols_tot, 128), dtype),
             ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=int(28 * 2 ** 20)),
             interpret=jax.default_backend() != "tpu",
         )(xe, xo, me, mo, bvec)
         wp = wp_out
