@@ -114,11 +114,46 @@ def apply_plan_pallas(image, plan: SamplePlan, tile_rows: int = 8):
     """Execute a row-separable plan via the fused Pallas kernel.
 
     Same numerics as :func:`hygrid_tpu.ops.sampling.apply_plan` (tested);
-    image shape (..., H, W), any leading dims.
+    image shape (..., H, W), any leading dims.  Differentiable: resampling
+    is linear in the image, so the VJP is the transpose scatter
+    (segment-sum over the plan's indices) — a Pallas call alone has no
+    autodiff rule, which would break training through resamples on TPU.
     """
     dec = rowsep_decompose(plan)
     if dec is None:
         return apply_plan(image, plan)
+    return _apply_plan_pallas_ad(image, plan, tile_rows)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _apply_plan_pallas_ad(image, plan, tile_rows):
+    return _apply_plan_pallas_impl(image, plan, tile_rows)
+
+
+def _apply_plan_pallas_fwd(image, plan, tile_rows):
+    return _apply_plan_pallas_impl(image, plan, tile_rows), image.shape
+
+
+def _apply_plan_pallas_bwd(plan, tile_rows, img_shape, g):
+    h, w = plan.src_shape
+    k = plan.idx.shape[0]
+    lead = img_shape[:-2]
+    g2 = g.reshape((-1,) + plan.out_shape)          # (BC, h1, w1)
+    idx = jnp.asarray(plan.idx.reshape(-1))
+    wts = jnp.asarray(plan.weights.reshape(-1))
+    bc = g2.shape[0]
+    gk = jnp.broadcast_to(g2.reshape(bc, 1, -1).astype(jnp.float32),
+                          (bc, k, g2.shape[1] * g2.shape[2]))
+    contrib = (gk * wts.reshape(1, k, -1)).reshape(bc, -1)
+    dimg = jax.ops.segment_sum(contrib.T, idx, num_segments=h * w).T
+    return (dimg.reshape(img_shape).astype(g.dtype),)
+
+
+_apply_plan_pallas_ad.defvjp(_apply_plan_pallas_fwd, _apply_plan_pallas_bwd)
+
+
+def _apply_plan_pallas_impl(image, plan: SamplePlan, tile_rows: int = 8):
+    dec = rowsep_decompose(plan)
     rowbase, cols, wts = dec
     h, w = plan.src_shape
     _, k, h1, w1 = cols.shape

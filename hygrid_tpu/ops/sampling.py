@@ -38,7 +38,7 @@ __all__ = [
 ]
 
 
-@dataclasses.dataclass(frozen=True)
+@dataclasses.dataclass(frozen=True, eq=False)
 class SamplePlan:
     """Gather/blend recipe for one resampling op.
 

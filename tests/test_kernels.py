@@ -131,3 +131,19 @@ def test_fused_stack_matches_per_layer(C, r, L, h, w, bias_on):
     a = np.asarray(hex_conv_stack_pallas(x, ks, bs, radius=r))
     f = np.asarray(hex_conv_stack_pallas(x, ks, bs, radius=r, fused=True))
     np.testing.assert_allclose(a, f, atol=1e-5)
+
+
+def test_pallas_resample_grad_matches_xla():
+    """apply_plan_pallas carries a custom VJP (transpose scatter); TPU
+    training through resamples depends on it."""
+    from hygrid_tpu.ops import sampling, geometry
+    from hygrid_tpu import lattice
+    from hygrid_tpu.kernels.resample_pallas import apply_plan_pallas
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.random((2, 3, 16, 14)), jnp.float32)
+    plan = sampling.hex_sample_plan(
+        *geometry._linspace_grid(lattice.corner_box("hexresize", 16, 14),
+                                 23, 19), 16, 14, "linear")
+    g1 = jax.grad(lambda x: jnp.sum(sampling.apply_plan(x, plan) ** 2))(img)
+    g2 = jax.grad(lambda x: jnp.sum(apply_plan_pallas(x, plan) ** 2))(img)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)
