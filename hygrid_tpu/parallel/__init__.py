@@ -1,6 +1,7 @@
 """Mesh/sharding layer: dp/sp/tp over TPU ICI."""
 from .mesh import P, create_mesh, shard_batch, replicate, batch_spec, spatial_spec
-from .spatial import halo_exchange, sharded_hex_conv2d, sharded_hex_conv2d_fn
+from .spatial import (halo_exchange, sharded_hex_conv2d,
+                      sharded_hex_conv2d_fn, sharded_resample)
 from .distributed import initialize_multihost, global_mesh, host_local_batch_slice
 
 __all__ = [
@@ -13,6 +14,7 @@ __all__ = [
     "halo_exchange",
     "sharded_hex_conv2d",
     "sharded_hex_conv2d_fn",
+    "sharded_resample",
     "initialize_multihost",
     "global_mesh",
     "host_local_batch_slice",

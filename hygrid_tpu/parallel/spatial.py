@@ -30,7 +30,8 @@ except AttributeError:  # pragma: no cover - older jax
 
 from ..nn import functional as F
 
-__all__ = ["halo_exchange", "sharded_hex_conv2d", "sharded_hex_conv2d_fn"]
+__all__ = ["halo_exchange", "sharded_hex_conv2d", "sharded_hex_conv2d_fn",
+           "sharded_resample"]
 
 
 def halo_exchange(x, lo: int, hi: int, axis_name: str, axis: int = -2):
@@ -86,6 +87,86 @@ def sharded_hex_conv2d_fn(kernel, bias=None, *, even_odd_offset: int = 0,
             radius=radius, stride=1, padding=0, impl=impl)
 
     return body
+
+
+def sharded_resample(image, mesh: Mesh, kind: str, dsize,
+                     interpolation: str = "linear", axis_name: str = "sp"):
+    """Row-sharded resampling over a mesh axis: each device keeps only its
+    row slab of the source AND of the output; boundary rows ride ICI via
+    ppermute halos.  This is the multi-chip form of the reference's
+    giant-raster ambition (``Image.py:81-88``) — rasters larger than one
+    chip's HBM resample without ever being gathered.
+
+    Requires the per-shard input band (own slab + static halo) to cover
+    every read — true for bounded scale changes; extreme scale factors
+    should use ops.tiled instead (checked at trace time).
+
+    kind: 'rect_to_hex' | 'hexresize' | 'hex_to_rect'.
+    Input (..., H, W) sharded over rows; returns (..., h1, w1) sharded the
+    same way.
+    """
+    import numpy as np
+    from ..ops import sampling
+    from ..ops.geometry import _linspace_grid
+    from .. import lattice
+
+    n = mesh.shape[axis_name]
+    image = jnp.asarray(image)
+    lead = image.ndim - 2
+    h, w = image.shape[-2:]
+    h1, w1 = dsize
+    if h % n or h1 % n:
+        raise ValueError(f"source rows {h} and output rows {h1} must divide "
+                         f"the mesh axis {axis_name}={n}")
+
+    box_kind = {"rect_to_hex": "rect_source", "hexresize": "hexresize",
+                "hex_to_rect": "hex_to_rect"}[kind]
+    gx, gy = _linspace_grid(lattice.corner_box(box_kind, h, w), h1, w1)
+    if kind == "rect_to_hex":
+        plan = sampling.rect_sample_plan(gx, gy, h, w, interpolation)
+    else:
+        plan = sampling.hex_sample_plan(gx, gy, h, w, interpolation)
+
+    # static halo sizes: each shard's output rows must read only its own
+    # input slab +- the halo (true for resizes with bounded scale; the
+    # per-shard index arithmetic itself is traced, so the row pattern need
+    # NOT repeat exactly across shards)
+    rows = plan.idx // w
+    hs, h1s = h // n, h1 // n
+    valid = plan.weights != 0
+    halo_lo = halo_hi = 0
+    for i in range(n):
+        vi = valid[:, i * h1s:(i + 1) * h1s]
+        if not vi.any():
+            continue
+        ri = rows[:, i * h1s:(i + 1) * h1s][vi] - i * hs
+        halo_lo = max(halo_lo, int(-ri.min()))
+        halo_hi = max(halo_hi, int(ri.max() - (hs - 1)))
+    if halo_lo >= hs or halo_hi >= hs:
+        raise ValueError(
+            f"resample needs halos ({halo_lo},{halo_hi}) >= slab {hs}; "
+            "use ops.tiled for extreme scale changes")
+    band = hs + halo_lo + halo_hi
+
+    idx_all = jnp.asarray(plan.idx.astype(np.int32))
+    wts_all = jnp.asarray(plan.weights)
+
+    def body(x, idx, wts):
+        x = halo_exchange(x, halo_lo, halo_hi, axis_name) \
+            if (halo_lo or halo_hi) else x
+        i = jax.lax.axis_index(axis_name)
+        local_rows = jnp.clip(idx // w - i * hs + halo_lo, 0, band - 1)
+        flat = (local_rows * w + idx % w).reshape(-1)
+        xf = x.reshape(x.shape[:-2] + (band * w,))
+        taken = xf[..., flat].reshape(x.shape[:-2] + idx.shape)
+        acc = jnp.float32 if not jnp.issubdtype(x.dtype, jnp.floating) \
+            else x.dtype
+        return jnp.sum(taken.astype(acc) * wts.astype(acc), axis=-3)
+
+    spec = P(*([None] * lead + [axis_name, None]))
+    pspec = P(None, axis_name, None)
+    return shard_map(body, mesh=mesh, in_specs=(spec, pspec, pspec),
+                     out_specs=spec)(image, idx_all, wts_all)
 
 
 def sharded_hex_conv2d(x, kernel, mesh: Mesh, bias=None, *,

@@ -219,3 +219,34 @@ class TestFit:
         from hygrid_tpu.parallel import host_local_batch_slice
         sl = host_local_batch_slice(32)
         assert sl == slice(0, 32)  # single process
+
+
+class TestShardedResample:
+    @pytest.mark.parametrize("kind,dsize,interp,shape", [
+        ("rect_to_hex", (32, 24), "bilinear", (2, 3, 64, 48)),
+        ("rect_to_hex", (32, 24), "nearest", (2, 3, 64, 48)),
+        ("hexresize", (48, 36), "linear", (2, 3, 64, 48)),
+        ("hex_to_rect", (64, 48), "linear", (1, 3, 32, 24)),
+    ])
+    def test_matches_monolithic(self, kind, dsize, interp, shape):
+        import hygrid_tpu as hg
+        from hygrid_tpu.parallel.spatial import sharded_resample
+        rng = np.random.default_rng(hash(kind) % 997)
+        x = rng.random(shape).astype(np.float32)
+        want = np.asarray({
+            "rect_to_hex": hg.rect_to_hex_resample,
+            "hexresize": hg.hexresize,
+            "hex_to_rect": hg.hex_to_rect_resample,
+        }[kind](x, dsize, interp))
+        mesh = parallel.create_mesh({"sp": 4})
+        got = np.asarray(sharded_resample(jnp.asarray(x), mesh, kind, dsize,
+                                          interp))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_rejects_nondividing(self):
+        from hygrid_tpu.parallel.spatial import sharded_resample
+        mesh = parallel.create_mesh({"sp": 4})
+        with pytest.raises(ValueError):
+            sharded_resample(jnp.ones((1, 3, 30, 16)), mesh, "hexresize",
+                             (20, 16))
