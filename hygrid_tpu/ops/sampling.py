@@ -233,10 +233,10 @@ def apply_plan(image, plan: SamplePlan):
     taken = flat[..., idx.reshape(-1)]
     taken = taken.reshape(image.shape[:-2] + plan.idx.shape)  # (..., K, h1, w1)
     if plan.exact_select:
+        # single selected value per output cell: multiply by the 0/1 mask in
+        # the image dtype so integer inputs round-trip bit-exactly
         mask = jnp.asarray(plan.weights[0])
         out = taken[..., 0, :, :]
-        if jnp.issubdtype(out.dtype, jnp.integer) or out.dtype == jnp.bool_:
-            return out * mask.astype(out.dtype)
         return out * mask.astype(out.dtype)
     weights = jnp.asarray(plan.weights)
     acc_dtype = image.dtype if jnp.issubdtype(image.dtype, jnp.floating) else jnp.float32
