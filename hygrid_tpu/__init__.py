@@ -30,6 +30,7 @@ from .ops import (
     type1_to_heximage,
     type2_to_heximage,
 )
+from .ops.hexrot import hexrot60, hexflip
 
 __version__ = "0.1.0"
 
@@ -55,4 +56,6 @@ __all__ = [
     "heximage_to_type2",
     "type1_to_heximage",
     "type2_to_heximage",
+    "hexrot60",
+    "hexflip",
 ]

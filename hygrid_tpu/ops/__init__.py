@@ -14,6 +14,7 @@ from .convert import (
     type2_to_heximage,
 )
 from .sampling import SamplePlan, hex_sample_plan, rect_sample_plan, apply_plan
+from .hexrot import hexrot60, hexflip
 
 __all__ = [
     "image_geometric_transformation",
@@ -31,4 +32,6 @@ __all__ = [
     "hex_sample_plan",
     "rect_sample_plan",
     "apply_plan",
+    "hexrot60",
+    "hexflip",
 ]
