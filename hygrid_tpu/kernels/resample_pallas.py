@@ -90,21 +90,24 @@ def pallas_resample_applicable(plan: SamplePlan, n_lead: int,
             and rowsep_decompose(plan) is not None)
 
 
-def _resample_kernel(rowref, colref, wref, src_ref, out_ref, *, tr, w, w1, k):
+def _resample_kernel(rowref, colref, wref, src_ref, out_ref, *, tr, w, w1, k,
+                     mdtype=jnp.float32):
     """One output-row tile: per row, two one-hot matmuls on the MXU.
-    ``rowref`` is the full row-base vector (scalar-prefetched into SMEM)."""
+    ``rowref`` is the full row-base vector (scalar-prefetched into SMEM).
+    ``mdtype``: selection-matrix dtype — bf16 is lossless for exact-select
+    (0/1 weight) plans and halves VMEM/compare cost."""
     iota = lax.broadcasted_iota(jnp.int32, (w, w1), 0)
     j = pl.program_id(1)
     for r in range(tr):
         base = rowref[j * tr + r]
         acc = None
         for d in (0, 1):
-            m = jnp.zeros((w, w1), jnp.float32)
+            m = jnp.zeros((w, w1), mdtype)
             for kk in range(k):
                 c = colref[0, d, kk, r, :][None, :]      # (1, w1)
-                wt = wref[0, d, kk, r, :][None, :].astype(jnp.float32)
-                m = m + jnp.where(iota == c, wt, 0.0)
-            srow = src_ref[:, base + d, :].astype(jnp.float32)   # (BC, w)
+                wt = wref[0, d, kk, r, :][None, :].astype(mdtype)
+                m = m + jnp.where(iota == c, wt, jnp.zeros((), mdtype))
+            srow = src_ref[:, base + d, :].astype(mdtype)   # (BC, w)
             term = jnp.dot(srow, m, preferred_element_type=jnp.float32)
             acc = term if acc is None else acc + term
         out_ref[:, r, :] = acc.astype(out_ref.dtype)
@@ -184,7 +187,9 @@ def _apply_plan_pallas_impl(image, plan: SamplePlan, tile_rows: int = 8):
         wts = np.pad(wts, ((0, 0), (0, 0), (0, pad_h1), (0, 0)))
     n_tiles = (h1 + pad_h1) // tr
 
-    kern = functools.partial(_resample_kernel, tr=tr, w=w, w1=w1, k=k)
+    mdtype = jnp.bfloat16 if plan.exact_select else jnp.float32
+    kern = functools.partial(_resample_kernel, tr=tr, w=w, w1=w1, k=k,
+                             mdtype=mdtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_groups, n_tiles),
