@@ -1,5 +1,6 @@
 """Built-in hex model families and training utilities."""
-from .hexcnn import HexCNN, HexConvNeXtBlock, hexcnn_small, hexcnn_tiny
+from .hexcnn import (HexCNN, HexConvNeXtBlock, HexResBlock, HexResNet,
+                     hexcnn_small, hexcnn_tiny)
 from .hexunet import HexUNet, HexConvTranspose2d, HexPixelShuffleUpsample
 from .video import (make_frame_processor, make_batch_processor,
                     process_stream, StreamStats)
@@ -23,6 +24,8 @@ __all__ = [
     "process_stream",
     "StreamStats",
     "HexConvNeXtBlock",
+    "HexResBlock",
+    "HexResNet",
     "hexcnn_small",
     "hexcnn_tiny",
     "fit",

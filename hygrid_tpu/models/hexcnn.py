@@ -20,7 +20,8 @@ import flax.linen as nn
 from ..nn.modules import HexConvModule
 from ..nn import functional as F
 
-__all__ = ["HexCNN", "HexConvNeXtBlock", "hexcnn_small", "hexcnn_tiny"]
+__all__ = ["HexCNN", "HexConvNeXtBlock", "HexResBlock", "HexResNet",
+           "hexcnn_small", "hexcnn_tiny"]
 
 
 class HexCNN(nn.Module):
@@ -92,6 +93,67 @@ class HexConvNeXtBlock(nn.Module):
         x = nn.Dense(self.width, dtype=self.dtype)(x)
         x = jnp.moveaxis(x, -1, 1)
         return x + residual
+
+
+class HexResBlock(nn.Module):
+    """Pre-activation residual block on the hex lattice: GN -> hex conv ->
+    GN -> hex conv + skip (1x1 projection when widths change)."""
+
+    width: int
+    radius: int = 2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[1]
+
+        def gn(v, name):
+            vl = jnp.moveaxis(v, 1, -1)
+            import math as _m
+            vl = nn.GroupNorm(num_groups=_m.gcd(8, vl.shape[-1]),
+                              dtype=self.dtype, name=name)(vl)
+            return jnp.moveaxis(nn.gelu(vl), -1, 1)
+
+        h = gn(x, "gn1")
+        k1 = self.param("k1", nn.initializers.truncated_normal(0.05),
+                        (self.width, cin, F.hex_kernel_num(self.radius)),
+                        self.dtype)
+        h = F.hex_conv2d(h, k1, even_odd_offset=0, radius=self.radius,
+                         padding=self.radius - 1)
+        h = gn(h, "gn2")
+        k2 = self.param("k2", nn.initializers.truncated_normal(0.05),
+                        (self.width, self.width,
+                         F.hex_kernel_num(self.radius)), self.dtype)
+        h = F.hex_conv2d(h, k2, even_odd_offset=0, radius=self.radius,
+                         padding=self.radius - 1)
+        if cin != self.width:
+            proj = nn.Dense(self.width, dtype=self.dtype, name="proj")
+            x = jnp.moveaxis(proj(jnp.moveaxis(x, 1, -1)), -1, 1)
+        return x + h
+
+
+class HexResNet(nn.Module):
+    """Residual hex backbone + classifier head (stride-2 hex max-pool
+    between stages)."""
+
+    num_classes: int = 10
+    widths: Sequence[int] = (32, 64, 128)
+    blocks_per_stage: int = 2
+    radius: int = 2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = jnp.asarray(x, self.dtype)
+        for si, width in enumerate(self.widths):
+            for bi in range(self.blocks_per_stage):
+                x = HexResBlock(width=width, radius=self.radius,
+                                dtype=self.dtype,
+                                name=f"s{si}b{bi}")(x)
+            if si != len(self.widths) - 1:
+                x = F.hex_pool2d(x, "max", kernel_size=2, stride=2)
+        x = F.hex_global_pool2d(x, "average")
+        return nn.Dense(self.num_classes, dtype=self.dtype, name="head")(x)
 
 
 def hexcnn_tiny(num_classes: int = 10, **kw) -> HexCNN:

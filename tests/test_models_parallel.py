@@ -250,3 +250,32 @@ class TestShardedResample:
         with pytest.raises(ValueError):
             sharded_resample(jnp.ones((1, 3, 30, 16)), mesh, "hexresize",
                              (20, 16))
+
+
+class TestHexResNet:
+    def test_forward_and_residual_shapes(self):
+        from hygrid_tpu.models import HexResNet, HexResBlock
+        import jax.numpy as jnp
+        m = HexResNet(num_classes=7, widths=(8, 16), blocks_per_stage=1)
+        x = jnp.ones((2, 3, 16, 16))
+        p = m.init(jax.random.key(0), x)
+        out = m.apply(p, x)
+        assert out.shape == (2, 7)
+        blk = HexResBlock(width=8)
+        pb = blk.init(jax.random.key(1), jnp.ones((1, 8, 12, 12)))
+        assert blk.apply(pb, jnp.ones((1, 8, 12, 12))).shape == (1, 8, 12, 12)
+
+    def test_trains(self):
+        from hygrid_tpu.models import (HexResNet, create_train_state,
+                                       train_step, synthetic_hex_cifar)
+        rng = np.random.default_rng(0)
+        x, y = synthetic_hex_cifar(rng, 16)
+        m = HexResNet(num_classes=10, widths=(8, 16), blocks_per_stage=1)
+        state = create_train_state(m, jax.random.key(0), x[:2])
+        step = jax.jit(train_step)
+        l0 = None
+        for _ in range(4):
+            state, metrics = step(state, x, y)
+            if l0 is None:
+                l0 = float(metrics["loss"])
+        assert float(metrics["loss"]) < l0
