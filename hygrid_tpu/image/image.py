@@ -45,7 +45,7 @@ class IMAGE:
         if pathname is not None:
             self.path = pathname
             if not os.path.exists(pathname):
-                raise OSError("path dosen't exist.")
+                raise OSError("path doesn't exist.")
             ext = os.path.splitext(pathname)[1].lower()
             if ext in codecs.RASTER_EXTS:
                 self.filetype = 1
@@ -186,10 +186,15 @@ class HEXIMAGE(IMAGE):
                 self.geotrans = self.Heximagedataset["geotransform"]
                 self.proj = self.Heximagedataset["projection"]
                 even_odd_offset = self.Heximagedataset["offset"]
-                self.HexagonImage = self.Heximagedataset["HexMatrix"]
-                if self.HexagonImage.ndim < 3:
-                    self.HexagonImage = np.broadcast_to(
-                        self.HexagonImage, (3, self.height, self.width))
+                # materialise a writable owned array (a 2-D HexMatrix is a
+                # single band — the band count stays what the file says, and
+                # later in-place edits / SaveHexImage keep working; the
+                # reference loads the matrix as-is, HexImage.py:89-102)
+                hm = np.array(self.Heximagedataset["HexMatrix"])
+                if hm.ndim == 2:
+                    hm = hm[None]
+                self.HexagonImage = hm
+                self.bands, self.height, self.width = hm.shape
                 self.path = pathname
                 self.backend = backend
             else:

@@ -212,10 +212,18 @@ def apply_plan_auto(image, plan: "SamplePlan"):
     floaty = jnp.issubdtype(image.dtype, jnp.floating)
     if RESAMPLE_BACKEND == "pallas":
         return apply_plan_pallas(image, plan)
-    if (_jax.default_backend() == "tpu" and floaty
+    if (_jax.default_backend() == "tpu"
             and pallas_resample_applicable(plan, n_lead,
                                            image.dtype.itemsize)):
-        return apply_plan_pallas(image, plan)
+        if floaty:
+            return apply_plan_pallas(image, plan)
+        if plan.exact_select and image.dtype.itemsize == 1:
+            # 8-bit integers are exactly representable in the kernel's bf16
+            # selection path, so f32-in / cast-back is bit-exact; wider int
+            # types keep the XLA path below (also exact, via 0/1-mask
+            # multiply in the native dtype)
+            out = apply_plan_pallas(image.astype(jnp.float32), plan)
+            return out.astype(image.dtype)
     return apply_plan(image, plan)
 
 

@@ -136,16 +136,16 @@ def render_mosaic(hex_image, out_size: Tuple[int, int],
         _PLAN_CACHE[key] = mosaic_plan(h, w, out_h, out_w, even_odd_offset,
                                        view)
     flat, mask = _PLAN_CACHE[key]
-    # ride the resampling engine: exact-select plan -> fused Pallas
-    # gather-interpolate kernel on TPU (sampling.apply_plan_auto)
+    # ride the resampling engine: the mosaic plan is K=1 with a pure 0/1
+    # mask, i.e. an exact-select plan — marking it so lets the Pallas kernel
+    # use bf16 selection matrices (lossless for 0/1 weights) and lets the
+    # XLA path preserve integer dtypes bit-exactly
     from ..ops.sampling import SamplePlan, apply_plan_auto
     plan = SamplePlan(flat[None], mask[None], (h, w), (out_h, out_w),
-                      exact_select=False)
-    frame = apply_plan_auto(img.astype(jnp.float32) if
-                            jnp.issubdtype(img.dtype, jnp.integer) else img,
-                            plan)
+                      exact_select=True)
+    frame = apply_plan_auto(img, plan)
     if background:
-        m = jnp.asarray(mask)
-        frame = frame + background * (1 - m)
-    return frame.astype(img.dtype if jnp.issubdtype(img.dtype, jnp.floating)
-                        else jnp.float32)
+        m = jnp.asarray(mask).astype(jnp.float32)
+        frame = (frame.astype(jnp.float32)
+                 + background * (1 - m)).astype(frame.dtype)
+    return frame
