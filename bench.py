@@ -38,14 +38,17 @@ def build_pipeline(size: int, channels: int, layers: int, radius: int, dtype):
     kernels.append(jnp.asarray(proj, dtype))
 
     def pipeline(x):
-        hexed = hg.rect_to_hex_resample(x, (size // 2, size // 2), "bilinear")
-        h = hexed.astype(dtype)
-        h = jnp.pad(h, ((0, 0), (0, channels - 3), (0, 0), (0, 0)))
+        # the whole pipeline runs in bf16 (the production inference dtype);
+        # the resample kernels run native 16-bit operands at the full MXU
+        # rate when fed bf16 (f32 inputs would run 6-pass bit-parity mode)
+        hexed = hg.rect_to_hex_resample(x.astype(dtype),
+                                        (size // 2, size // 2), "bilinear")
+        h = jnp.pad(hexed, ((0, 0), (0, channels - 3), (0, 0), (0, 0)))
         h = hex_conv_stack_pallas(h, kernels, None, radius=radius,
                                   final_activation=False)
         h = h[:, :3]
-        return hg.hex_to_rect_resample(h.astype(jnp.float32), (size, size),
-                                       "linear")
+        return hg.hex_to_rect_resample(h, (size, size),
+                                       "linear").astype(jnp.float32)
 
     return pipeline
 

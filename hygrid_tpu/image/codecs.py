@@ -56,6 +56,199 @@ def _geotrans_from_tags(tags) -> Optional[Tuple[float, ...]]:
     return (x - i * sx, sx, 0.0, y + j * sy, 0.0, -sy)
 
 
+# --- pure-numpy N-band striped TIFF ------------------------------------
+# PIL's fromarray holds at most 4 interleaved channels; the reference's
+# GDAL writer emits N-band GeoTIFFs band-by-band (TILED + LZW,
+# ``HexImage.py:198-208``) for remote-sensing rasters (its GF-2 use case).
+# This codec covers that slot without GDAL: planar (band-sequential)
+# strips, one strip per band, Deflate-compressed.  Divergence from the
+# reference: compression is Deflate (COMPRESSION=8) instead of LZW —
+# stdlib zlib has no LZW *encoder*; both are lossless and GDAL/tifffile
+# read either.
+
+_TIFF_DTYPES = {
+    np.dtype(np.uint8): (8, 1), np.dtype(np.uint16): (16, 1),
+    np.dtype(np.uint32): (32, 1), np.dtype(np.int8): (8, 2),
+    np.dtype(np.int16): (16, 2), np.dtype(np.int32): (32, 2),
+    np.dtype(np.float32): (32, 3), np.dtype(np.float64): (64, 3),
+}
+_TIFF_DTYPES_INV = {v: k for k, v in _TIFF_DTYPES.items()}
+
+
+def _pil_can_hold(array: np.ndarray) -> bool:
+    """Whether PIL.Image.fromarray accepts this (C, H, W) raster."""
+    c = array.shape[0]
+    if array.dtype == np.uint8 and c in (1, 2, 3, 4):
+        return True
+    return c == 1 and array.dtype in (np.uint16, np.int32, np.float32)
+
+
+def _write_tiff_nband(path: str, array: np.ndarray,
+                      geotrans=None, proj=None, compress: bool = True) -> None:
+    """Write (C, H, W) of any band count / sample type as a classic
+    little-endian TIFF with planar configuration 2 (band-sequential, the
+    GDAL per-band ``WriteArray`` layout) and the same geo tags as
+    :func:`write_raster`'s PIL path."""
+    import struct
+    import zlib
+
+    array = np.ascontiguousarray(array)
+    if array.dtype not in _TIFF_DTYPES:
+        raise ValueError(f"unsupported TIFF sample dtype {array.dtype}")
+    bits, fmt = _TIFF_DTYPES[array.dtype]
+    c, h, w = array.shape
+
+    strips = []
+    for b in range(c):
+        raw = array[b].astype(array.dtype.newbyteorder("<")).tobytes()
+        strips.append(zlib.compress(raw, 6) if compress else raw)
+
+    out = bytearray()
+    out += struct.pack("<2sHI", b"II", 42, 0)      # IFD offset patched later
+    strip_offsets, strip_counts = [], []
+    for s in strips:
+        strip_offsets.append(len(out))
+        strip_counts.append(len(s))
+        out += s
+        if len(out) & 1:
+            out += b"\0"
+
+    def _aux(fmtstr, values):
+        """Place an external value block, return its offset."""
+        off = len(out)
+        out.extend(struct.pack("<" + fmtstr * len(values), *values))
+        if len(out) & 1:
+            out.extend(b"\0")
+        return off
+
+    # tag -> (type, count, inline value or (offset, True))
+    entries = []
+
+    def tag(tid, ttype, count, value):
+        entries.append((tid, ttype, count, value))
+
+    def shorts(values):
+        """Inline up to two SHORTs, otherwise an external block offset."""
+        if len(values) == 1:
+            return values[0]
+        if len(values) == 2:
+            return values[0] | (values[1] << 16)
+        return _aux("H", values)
+
+    tag(256, 4, 1, w)                               # ImageWidth
+    tag(257, 4, 1, h)                               # ImageLength
+    tag(258, 3, c, shorts([bits] * c))              # BitsPerSample
+    tag(259, 3, 1, 8 if compress else 1)            # Compression: deflate
+    tag(262, 3, 1, 1)                               # Photometric BlackIsZero
+    tag(273, 4, c, _aux("I", strip_offsets) if c > 1 else strip_offsets[0])
+    tag(277, 3, 1, c)                               # SamplesPerPixel
+    tag(278, 4, 1, h)                               # RowsPerStrip
+    tag(279, 4, c, _aux("I", strip_counts) if c > 1 else strip_counts[0])
+    tag(284, 3, 1, 2)                               # PlanarConfiguration
+    if c > 1:
+        # ExtraSamples: samples beyond the first are unassociated data
+        tag(338, 3, c - 1, shorts([0] * (c - 1)))
+    tag(339, 3, c, shorts([fmt] * c))               # SampleFormat
+    if geotrans is not None:
+        x0, dx, _, y0, _, dy = geotrans
+        tag(_MODEL_PIXEL_SCALE, 12, 3,
+            _aux("d", [abs(float(dx)), abs(float(dy)), 0.0]))
+        tag(_MODEL_TIEPOINT, 12, 6,
+            _aux("d", [0.0, 0.0, 0.0, float(x0), float(y0), 0.0]))
+    if proj:
+        s = str(proj).encode() + b"\0"
+        s += b"\0" * max(0, 5 - len(s))   # force external block (>4 bytes)
+        tag(_GEO_ASCII, 2, len(s), _aux("B", list(s)))
+
+    entries.sort(key=lambda e: e[0])
+    ifd_off = len(out)
+    type_size = {2: 1, 3: 2, 4: 4, 12: 8}
+    out += struct.pack("<H", len(entries))
+    for tid, ttype, count, value in entries:
+        total = type_size[ttype] * count
+        if total <= 4:
+            if ttype == 3 and count == 1:
+                packed = struct.pack("<HH", value, 0)
+            elif ttype == 3 and count == 2:
+                packed = struct.pack("<HH", value & 0xFFFF, value >> 16)
+            else:
+                packed = struct.pack("<I", value)
+        else:
+            packed = struct.pack("<I", value)       # value is an offset
+        out += struct.pack("<HHI", tid, ttype, count) + packed
+    out += struct.pack("<I", 0)                     # no next IFD
+    struct.pack_into("<I", out, 4, ifd_off)
+    with open(path, "wb") as f:
+        f.write(out)
+
+
+def _read_tiff_nband(path: str):
+    """Minimal classic-TIFF reader for the files ``_write_tiff_nband``
+    emits and GDAL-style planar N-band rasters generally: little/big
+    endian, strip-based, compression none/deflate, planar or chunky."""
+    import struct
+    import zlib
+
+    with open(path, "rb") as f:
+        data = f.read()
+    bo = {b"II": "<", b"MM": ">"}.get(data[:2])
+    if bo is None or struct.unpack(bo + "H", data[2:4])[0] != 42:
+        raise ValueError(f"{path} is not a classic TIFF")
+    (ifd_off,) = struct.unpack(bo + "I", data[4:8])
+    (n_entries,) = struct.unpack(bo + "H", data[ifd_off:ifd_off + 2])
+    type_size = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 12: 8}
+    type_fmt = {1: "B", 2: "B", 3: "H", 4: "I", 12: "d"}
+    tags = {}
+    for i in range(n_entries):
+        e = ifd_off + 2 + 12 * i
+        tid, ttype, count = struct.unpack(bo + "HHI", data[e:e + 8])
+        if ttype not in type_size:
+            continue
+        total = type_size[ttype] * count
+        if total <= 4:
+            raw = data[e + 8:e + 8 + total]
+        else:
+            (off,) = struct.unpack(bo + "I", data[e + 8:e + 12])
+            raw = data[off:off + total]
+        if ttype == 5:                              # RATIONAL
+            vals = struct.unpack(bo + "I" * (2 * count), raw)
+            tags[tid] = tuple(a / b if b else 0.0
+                              for a, b in zip(vals[::2], vals[1::2]))
+        else:
+            tags[tid] = struct.unpack(bo + type_fmt[ttype] * count, raw)
+    w = tags[256][0]
+    h = tags[257][0]
+    spp = tags.get(277, (1,))[0]
+    bits = tags.get(258, (8,))[0]
+    fmt = tags.get(339, (1,))[0]
+    comp = tags.get(259, (1,))[0]
+    planar = tags.get(284, (1,))[0]
+    rps = tags.get(278, (h,))[0]
+    offsets = tags[273]
+    counts = tags[279]
+    if comp not in (1, 8, 32946):
+        raise ValueError(f"unsupported TIFF compression {comp}")
+    dtype = _TIFF_DTYPES_INV.get((bits, fmt))
+    if dtype is None:
+        raise ValueError(f"unsupported sample type bits={bits} fmt={fmt}")
+    dtype = dtype.newbyteorder(bo)
+    payload = b"".join(
+        zlib.decompress(data[o:o + n]) if comp != 1 else data[o:o + n]
+        for o, n in zip(offsets, counts))
+    arr = np.frombuffer(payload, dtype=dtype)
+    if planar == 2:
+        arr = arr.reshape(spp, h, w)
+    else:
+        arr = arr.reshape(h, w, spp).transpose(2, 0, 1)
+    arr = np.ascontiguousarray(arr.astype(dtype.newbyteorder("=")))
+    geotrans = _geotrans_from_tags(tags)
+    proj = None
+    if _GEO_ASCII in tags:
+        proj = bytes(tags[_GEO_ASCII]).rstrip(b"\0").decode(errors="replace") \
+            if isinstance(tags[_GEO_ASCII][0], int) else tags[_GEO_ASCII][0]
+    return arr, geotrans, proj
+
+
 def read_raster(path: str, backend: str = "pil"):
     """Read a raster file -> ``(array (C, H, W), geotransform, projection)``.
 
@@ -74,15 +267,24 @@ def read_raster(path: str, backend: str = "pil"):
         chw = np.ascontiguousarray(np.atleast_3d(arr).transpose(2, 0, 1))
         return chw, None, None
     if not HAS_PIL:
+        if ext in (".tif", ".tiff"):
+            return _read_tiff_nband(path)
         raise ImportError("no raster backend available (PIL missing)")
-    with PILImage.open(path) as im:
-        geotrans = proj = None
-        if ext in (".tif", ".tiff") and hasattr(im, "tag_v2"):
-            geotrans = _geotrans_from_tags(im.tag_v2)
-            proj = im.tag_v2.get(_GEO_ASCII)
-            if isinstance(proj, tuple):
-                proj = proj[0] if proj else None
-        arr = np.asarray(im)
+    try:
+        with PILImage.open(path) as im:
+            geotrans = proj = None
+            if ext in (".tif", ".tiff") and hasattr(im, "tag_v2"):
+                geotrans = _geotrans_from_tags(im.tag_v2)
+                proj = im.tag_v2.get(_GEO_ASCII)
+                if isinstance(proj, tuple):
+                    proj = proj[0] if proj else None
+            arr = np.asarray(im)
+    except Exception:
+        # PIL holds <= 4 interleaved channels; N-band planar GeoTIFFs
+        # (the reference's GF-2 remote-sensing case) take the pure reader
+        if ext in (".tif", ".tiff"):
+            return _read_tiff_nband(path)
+        raise
     if arr.ndim == 2:
         arr = arr[None]
     else:
@@ -100,6 +302,10 @@ def write_raster(path: str, array: np.ndarray,
     if array.ndim == 2:
         array = array[None]
     ext = os.path.splitext(path)[1].lower()
+    if (ext in (".tif", ".tiff") and backend != "cv2"
+            and not _pil_can_hold(array)):
+        _write_tiff_nband(path, array, geotrans, proj, compress)
+        return
     hwc = np.ascontiguousarray(array.transpose(1, 2, 0))
     if hwc.shape[-1] == 1:
         hwc = hwc[..., 0]

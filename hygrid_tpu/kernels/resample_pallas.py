@@ -91,24 +91,37 @@ def pallas_resample_applicable(plan: SamplePlan, n_lead: int,
 
 
 def _resample_kernel(rowref, colref, wref, src_ref, out_ref, *, tr, w, w1, k,
-                     mdtype=jnp.float32):
+                     mdtype=jnp.float32,
+                     precision=lax.Precision.HIGHEST):
     """One output-row tile: per row, two one-hot matmuls on the MXU.
     ``rowref`` is the full row-base vector (scalar-prefetched into SMEM).
-    ``mdtype``: selection-matrix dtype — bf16 is lossless for exact-select
-    (0/1 weight) plans and halves VMEM/compare cost."""
+    ``mdtype``: matmul operand dtype.  The one-hot build stays fully
+    32-bit (the i1 mask of an i32 compare lives in (8,128) vreg tiling,
+    and Mosaic cannot relayout it onto 16-bit operands, nor iota natively
+    in int16); only the finished selection matrix is cast.
+    ``precision``: MXU strategy for the dot.  Mosaic supports DEFAULT
+    (one bf16 pass) and HIGHEST (six passes, f32 bit-parity; ``HIGH`` is
+    rejected).  The dispatch ties these to the image dtype — see
+    ``_apply_plan_pallas_impl``."""
     iota = lax.broadcasted_iota(jnp.int32, (w, w1), 0)
     j = pl.program_id(1)
     for r in range(tr):
         base = rowref[j * tr + r]
         acc = None
         for d in (0, 1):
-            m = jnp.zeros((w, w1), mdtype)
+            m = jnp.zeros((w, w1), jnp.float32)
             for kk in range(k):
                 c = colref[0, d, kk, r, :][None, :]      # (1, w1)
-                wt = wref[0, d, kk, r, :][None, :].astype(mdtype)
-                m = m + jnp.where(iota == c, wt, jnp.zeros((), mdtype))
-            srow = src_ref[:, base + d, :].astype(mdtype)   # (BC, w)
-            term = jnp.dot(srow, m, preferred_element_type=jnp.float32)
+                wt = wref[0, d, kk, r, :][None, :]
+                m = m + jnp.where(iota == c, wt, jnp.zeros((), jnp.float32))
+            # source is laid out h-major (H, 1, BC, W): the dynamic row
+            # index hits the untiled leading dim, which Mosaic allows for
+            # every dtype (a dynamic *sublane* index would need provable
+            # 8/16 alignment and rejects packed bf16)
+            srow = src_ref[base + d, 0].astype(mdtype)      # (BC, w)
+            term = jnp.dot(srow, m.astype(mdtype),
+                           preferred_element_type=jnp.float32,
+                           precision=precision)
             acc = term if acc is None else acc + term
         out_ref[:, r, :] = acc.astype(out_ref.dtype)
 
@@ -164,7 +177,9 @@ def _apply_plan_pallas_impl(image, plan: SamplePlan, tile_rows: int = 8):
     image = jnp.asarray(image)
     lead = image.shape[:-2]
     bc = int(np.prod(lead)) if lead else 1
-    src = image.reshape(bc, h, w)
+    # h-major layout: the kernel's dynamic row index then hits an untiled
+    # leading dim (see _resample_kernel) — one cheap transpose per call
+    src = jnp.moveaxis(image.reshape(bc, h, w), 0, 1)      # (h, bc, w)
     out_dtype = (image.dtype if jnp.issubdtype(image.dtype, jnp.floating)
                  else jnp.float32)
 
@@ -176,8 +191,11 @@ def _apply_plan_pallas_impl(image, plan: SamplePlan, tile_rows: int = 8):
     gb = max(1, min(bc, budget // max(1, h * w * esz)))
     pad_bc = (-bc) % gb
     if pad_bc:
-        src = jnp.pad(src, ((0, pad_bc), (0, 0), (0, 0)))
+        src = jnp.pad(src, ((0, 0), (0, pad_bc), (0, 0)))
     n_groups = (bc + pad_bc) // gb
+    # 4-D (h, n_groups, gb, w): the block's last two dims (gb, w) equal the
+    # array's, satisfying Mosaic's block-divisibility rule for ANY gb
+    src = src.reshape(h, n_groups, gb, w)
 
     tr = tile_rows
     pad_h1 = (-h1) % tr
@@ -187,16 +205,26 @@ def _apply_plan_pallas_impl(image, plan: SamplePlan, tile_rows: int = 8):
         wts = np.pad(wts, ((0, 0), (0, 0), (0, pad_h1), (0, 0)))
     n_tiles = (h1 + pad_h1) // tr
 
-    mdtype = jnp.bfloat16 if plan.exact_select else jnp.float32
+    # precision follows the image dtype (v5e measurements, 4K-mosaic-shaped
+    # plan): 16-bit float images run native bf16 at the full MXU rate
+    # (123 fps); f32 images run HIGHEST (six bf16 passes, 26 fps) for bit
+    # parity with the XLA gather path — DEFAULT on f32 would silently
+    # introduce ~2e-3 relative error.  Callers choose speed by choosing
+    # dtype (apply_plan_auto routes u8 exact-selects through bf16, which
+    # is exact for 8-bit-origin samples; the viewer renders at bf16).
+    if image.dtype.itemsize == 2:
+        mdtype, precision = image.dtype, lax.Precision.DEFAULT
+    else:
+        mdtype, precision = jnp.float32, lax.Precision.HIGHEST
     kern = functools.partial(_resample_kernel, tr=tr, w=w, w1=w1, k=k,
-                             mdtype=mdtype)
+                             mdtype=mdtype, precision=precision)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_groups, n_tiles),
         in_specs=[
             pl.BlockSpec((1, 2, k, tr, w1), lambda g, j, rows: (0, 0, 0, j, 0)),
             pl.BlockSpec((1, 2, k, tr, w1), lambda g, j, rows: (0, 0, 0, j, 0)),
-            pl.BlockSpec((gb, h, w), lambda g, j, rows: (g, 0, 0)),
+            pl.BlockSpec((h, 1, gb, w), lambda g, j, rows: (0, g, 0, 0)),
         ],
         out_specs=pl.BlockSpec((gb, tr, w1), lambda g, j, rows: (g, j, 0)),
     )

@@ -71,6 +71,7 @@ def fit(model, train_data: Iterable[Tuple], *, rng=None,
         yield from data_iter
 
     global_step = 0
+    metrics = None
     t0 = time.perf_counter()
     for epoch in range(num_epochs):
         it = batches() if epoch == 0 else iter(train_data)
@@ -89,6 +90,11 @@ def fit(model, train_data: Iterable[Tuple], *, rng=None,
                 logger.info("step %d epoch %d loss %.4f acc %.3f (%.1f s)",
                             global_step, epoch, loss, acc,
                             time.perf_counter() - t0)
+        if global_step % log_every != 0 and metrics is not None:
+            # record the epoch's final step so short runs (fewer than
+            # log_every steps) still produce a history
+            history["loss"].append(float(metrics["loss"]))
+            history["accuracy"].append(float(metrics["accuracy"]))
         if eval_data is not None:
             agg = []
             for images, labels in eval_data:

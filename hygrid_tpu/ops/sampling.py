@@ -218,11 +218,11 @@ def apply_plan_auto(image, plan: "SamplePlan"):
         if floaty:
             return apply_plan_pallas(image, plan)
         if plan.exact_select and image.dtype.itemsize == 1:
-            # 8-bit integers are exactly representable in the kernel's bf16
-            # selection path, so f32-in / cast-back is bit-exact; wider int
-            # types keep the XLA path below (also exact, via 0/1-mask
-            # multiply in the native dtype)
-            out = apply_plan_pallas(image.astype(jnp.float32), plan)
+            # 8-bit integers are exactly representable in bf16, so the
+            # full-MXU-rate bf16 selection path round-trips them bit-
+            # exactly; wider int types keep the XLA path below (also
+            # exact, via 0/1-mask multiply in the native dtype)
+            out = apply_plan_pallas(image.astype(jnp.bfloat16), plan)
             return out.astype(image.dtype)
     return apply_plan(image, plan)
 

@@ -137,13 +137,19 @@ def render_mosaic(hex_image, out_size: Tuple[int, int],
                                        view)
     flat, mask = _PLAN_CACHE[key]
     # ride the resampling engine: the mosaic plan is K=1 with a pure 0/1
-    # mask, i.e. an exact-select plan — marking it so lets the Pallas kernel
-    # use bf16 selection matrices (lossless for 0/1 weights) and lets the
-    # XLA path preserve integer dtypes bit-exactly
+    # mask, i.e. an exact-select plan — integer dtypes round-trip
+    # bit-exactly (8-bit rides the full-rate bf16 Pallas path).  f32
+    # frames render at bf16 sample precision (strictly above the
+    # reference viewer, which samples uint8 GL textures,
+    # ``texture.py:30-44``) so the 4K render stays at MXU speed.
     from ..ops.sampling import SamplePlan, apply_plan_auto
     plan = SamplePlan(flat[None], mask[None], (h, w), (out_h, out_w),
                       exact_select=True)
-    frame = apply_plan_auto(img, plan)
+    rimg = (img.astype(jnp.bfloat16)
+            if img.dtype == jnp.float32 else img)
+    frame = apply_plan_auto(rimg, plan)
+    if img.dtype == jnp.float32:
+        frame = frame.astype(jnp.float32)
     if background:
         m = jnp.asarray(mask).astype(jnp.float32)
         frame = (frame.astype(jnp.float32)
