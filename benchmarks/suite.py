@@ -1,7 +1,7 @@
 """The five BASELINE.json benchmark configs, each printing one JSON line.
 
 Run on TPU:  python benchmarks/suite.py [config ...]
-Configs: roundtrip | batched_filter | hexcnn | hexcnn512 | video | mosaic | all
+Configs: roundtrip | batched_filter | hexcnn | hexcnn512 | resample4k | video | mosaic | all
 
 (``bench.py`` at the repo root is the driver-facing north-star metric and
 equals ``roundtrip`` here.)
@@ -133,6 +133,24 @@ def bench_hexcnn512(batch=32):
         "vs_baseline": None}))
 
 
+def bench_resample4k():
+    """>VMEM resample: 4K->4K hex->rect linear; the 33 MB/plane source
+    exceeds the VMEM budget, so this exercises the row-banded kernel
+    (double-buffered HBM band DMA).  bf16 frames (8-bit content lossless),
+    MXU one-hot matmuls."""
+    import hygrid_tpu as hg
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((3, 2160, 3840)), jnp.bfloat16)
+    f = jax.jit(lambda v: hg.hex_to_rect_resample(v, (2160, 3840), "linear"))
+    per = _timeit(f, x, n=6)
+    mpix = 2160 * 3840 / 1e6
+    print(json.dumps({
+        "metric": "4K->4K hex->rect resample, >VMEM banded kernel (bf16)",
+        "value": round(mpix / per, 1), "unit": "Mpix/sec/chip",
+        "vs_baseline": None}))
+
+
 def bench_video(frames=16):
     """Config 4: per-frame 720p rect->hex + hex filtering; target 30 fps.
 
@@ -175,6 +193,7 @@ ALL = {
     "batched_filter": bench_batched_filter,
     "hexcnn": bench_hexcnn,
     "hexcnn512": bench_hexcnn512,
+    "resample4k": bench_resample4k,
     "video": bench_video,
     "mosaic": bench_mosaic,
 }

@@ -53,7 +53,18 @@ def rowsep_decompose(plan: SamplePlan):
     # band computation; they can live anywhere with weight 0
     big = np.where(valid, rows, h + 10)
     base = big.min(axis=(0, 2))                      # (h1,)
-    base = np.where(base > h, 0, base)               # fully-invalid rows
+    invalid = base > h                               # fully-invalid rows:
+    if invalid.all():
+        base = np.zeros_like(base)
+    elif invalid.any():
+        # forward/backward-fill from valid neighbours so the banded
+        # kernel's per-tile row spans stay tight (any in-range value is
+        # correct — these rows carry only zero weights)
+        idxs = np.arange(base.shape[0])
+        ffill = np.maximum.accumulate(np.where(~invalid, idxs, -1))
+        rev = np.where(~invalid[::-1], idxs[::-1], 2 * base.shape[0])
+        bfill = np.minimum.accumulate(rev)[::-1]
+        base = base[np.where(ffill >= 0, ffill, bfill)]
     base = np.clip(base, 0, h - 2).astype(np.int64)
     delta = rows - base[None, :, None]
     if np.any(valid & ((delta < 0) | (delta > 1))):
@@ -82,51 +93,179 @@ def rowsep_decompose(plan: SamplePlan):
     return base.astype(np.int32), out_cols, out_wts
 
 
+def _band_height(rowbase: np.ndarray, h: int, tile_rows: int):
+    """Per-tile source band starts + the static band height covering every
+    tile's row span (rows used by tile j are [min base, max base + 1])."""
+    h1 = rowbase.shape[0]
+    n_tiles = -(-h1 // tile_rows)
+    lo = np.empty(n_tiles, np.int32)
+    span = 0
+    for j in range(n_tiles):
+        chunk = rowbase[j * tile_rows:(j + 1) * tile_rows]
+        lo[j] = int(chunk.min())
+        span = max(span, int(chunk.max()) + 2 - lo[j])
+    band = min(h, -(-span // 8) * 8)                # sublane-align the buffer
+    lo = np.minimum(lo, max(0, h - band)).astype(np.int32)
+    return lo, band
+
+
 def pallas_resample_applicable(plan: SamplePlan, n_lead: int,
                                elem_bytes: int = 4,
-                               vmem_budget: int = 8 * 2**20) -> bool:
+                               vmem_budget: int = 8 * 2**20,
+                               tile_rows: int = 8) -> bool:
+    """Row-separable plans ride the fused kernel.  Sources beyond the VMEM
+    budget use the banded kernel (double-buffered row-band DMA from HBM),
+    which needs only the widest per-tile row band resident — it bails only
+    for extreme downsampling ratios where one output tile spans most of the
+    source (then the plan falls back to the XLA gather)."""
     h, w = plan.src_shape
-    return (h >= 2 and h * w * elem_bytes <= vmem_budget
-            and rowsep_decompose(plan) is not None)
+    if h < 2:
+        return False
+    dec = rowsep_decompose(plan)
+    if dec is None:
+        return False
+    if h * w * elem_bytes <= vmem_budget:
+        return True
+    _, band = _band_height(dec[0], h, tile_rows)
+    sub = max(1, 32 // elem_bytes)      # minimum sublane-aligned group
+    return 2 * band * sub * w * elem_bytes <= 2 * vmem_budget
 
 
-def _resample_kernel(rowref, colref, wref, src_ref, out_ref, *, tr, w, w1, k,
-                     mdtype=jnp.float32,
-                     precision=lax.Precision.HIGHEST):
-    """One output-row tile: per row, two one-hot matmuls on the MXU.
-    ``rowref`` is the full row-base vector (scalar-prefetched into SMEM).
-    ``mdtype``: matmul operand dtype.  The one-hot build stays fully
-    32-bit (the i1 mask of an i32 compare lives in (8,128) vreg tiling,
-    and Mosaic cannot relayout it onto 16-bit operands, nor iota natively
-    in int16); only the finished selection matrix is cast.
-    ``precision``: MXU strategy for the dot.  Mosaic supports DEFAULT
-    (one bf16 pass) and HIGHEST (six passes, f32 bit-parity; ``HIGH`` is
-    rejected).  The dispatch ties these to the image dtype — see
-    ``_apply_plan_pallas_impl``."""
-    iota = lax.broadcasted_iota(jnp.int32, (w, w1), 0)
+def _col_bands(cols, wts, w, w1):
+    """Column-band decomposition (the column analogue of the row bands):
+    for output-column tiles of width ``cw``, every source column any output
+    column in the tile reads lies in a 128-aligned band
+    ``[clo[t], clo[t] + cb)``.  Shrinks the one-hot selection matrix from
+    (w, w1) — quadratic in image width, 56 MB at 4K — to (cb, cw), and cuts
+    the m-build VPU work and matmul K-dim by ~w/cb.
+
+    Returns ``(cw, clo (n_ctiles,) int32, cb, cols_rebased)`` or None when
+    banding does not pay (cb would exceed w/2).
+    """
+    valid = wts != 0
+    big = np.where(valid, cols, np.iinfo(np.int32).max)
+    small = np.where(valid, cols, -1)
+    for cw in (512, 256, 128):
+        n_ct = -(-w1 // cw)
+        if n_ct <= 1:
+            continue
+        clo = np.zeros(n_ct, np.int64)
+        cb = 0
+        for t in range(n_ct):
+            sl = big[..., t * cw:(t + 1) * cw]
+            sh = small[..., t * cw:(t + 1) * cw]
+            lo = int(sl.min()) if sl.size else 0
+            hi = int(sh.max()) if sh.size else -1
+            if hi < 0:                       # tile reads nothing valid
+                lo, hi = 0, 0
+            lo = (lo // 128) * 128
+            clo[t] = lo
+            cb = max(cb, hi + 1 - lo)
+        cb = -(-cb // 128) * 128
+        if cb > w // 2 or cb * cw * 4 > 2 * 2**20:
+            continue
+        # clamp starts so the band stays inside the 128-padded source
+        w_pad = -(-w // 128) * 128
+        clo = np.minimum(clo, w_pad - cb)
+        reb = cols - clo[np.minimum(np.arange(w1) // cw, n_ct - 1)][
+            None, None, None, :]
+        return cw, clo.astype(np.int32), int(cb), reb.astype(np.int32)
+    return None
+
+
+def _tile_body(rowref, rowlo, colloref, colref, wref, read_row, out_ref, *,
+               tr, cb, cw, k, mdtype, precision, col_banded):
+    """Shared per-tile compute: build the (cb, cw) weight-carrying one-hot
+    selection matrix in-register from iota==index compares and gather via
+    MXU matmuls.  The one-hot build stays fully 32-bit (the i1 mask of an
+    i32 compare lives in (8,128) vreg tiling, and Mosaic cannot relayout
+    it onto 16-bit operands); only the finished matrix is cast.
+    ``precision``: Mosaic supports DEFAULT (one bf16 pass) and HIGHEST
+    (six passes, f32 bit-parity); the dispatch ties these to the image
+    dtype — see ``_apply_plan_pallas_impl``."""
     j = pl.program_id(1)
+    t = pl.program_id(2)
+    iota = lax.broadcasted_iota(jnp.int32, (cb, cw), 0)
+    lo = rowlo[j]
+    clo = pl.multiple_of(colloref[t], 128) if col_banded else 0
     for r in range(tr):
-        base = rowref[j * tr + r]
+        base = rowref[j * tr + r] - lo
         acc = None
         for d in (0, 1):
-            m = jnp.zeros((w, w1), jnp.float32)
+            m = jnp.zeros((cb, cw), jnp.float32)
             for kk in range(k):
-                c = colref[0, d, kk, r, :][None, :]      # (1, w1)
-                wt = wref[0, d, kk, r, :][None, :]
+                # cols ship int16, weights in the matmul dtype (see impl);
+                # upcast the small (1, cw) vectors at build time
+                c = colref[0, d, kk, r, :][None, :].astype(jnp.int32)
+                wt = wref[0, d, kk, r, :][None, :].astype(jnp.float32)
                 m = m + jnp.where(iota == c, wt, jnp.zeros((), jnp.float32))
-            # source is laid out h-major (H, 1, BC, W): the dynamic row
-            # index hits the untiled leading dim, which Mosaic allows for
-            # every dtype (a dynamic *sublane* index would need provable
-            # 8/16 alignment and rejects packed bf16)
-            srow = src_ref[base + d, 0].astype(mdtype)      # (BC, w)
-            term = jnp.dot(srow, m.astype(mdtype),
+            srow = read_row(base + d, clo)               # (gb, cb)
+            term = jnp.dot(srow.astype(mdtype), m.astype(mdtype),
                            preferred_element_type=jnp.float32,
                            precision=precision)
             acc = term if acc is None else acc + term
         out_ref[:, r, :] = acc.astype(out_ref.dtype)
 
 
-def apply_plan_pallas(image, plan: SamplePlan, tile_rows: int = 8):
+def _resample_kernel(rowref, rowlo, colloref, colref, wref, src_ref, out_ref,
+                     *, tr, cb, cw, k, mdtype, precision, col_banded):
+    """Full-source kernel: the (h, 1, gb, w) source block sits in VMEM; the
+    dynamic row index hits the untiled leading dim, which Mosaic allows
+    for every dtype (a dynamic *sublane* index would need provable 8/16
+    alignment and rejects packed bf16)."""
+    def read_row(idx, clo):
+        if col_banded:
+            return src_ref[idx, 0, :, pl.ds(clo, cb)]
+        return src_ref[idx, 0]
+    _tile_body(rowref, rowlo, colloref, colref, wref, read_row, out_ref,
+               tr=tr, cb=cb, cw=cw, k=k, mdtype=mdtype, precision=precision,
+               col_banded=col_banded)
+
+
+def _resample_kernel_banded(rowref, rowlo, colloref, colref, wref, src_any,
+                            out_ref, band_buf, sems, *, tr, cb, cw, k, band,
+                            n_tiles, mdtype, precision, col_banded):
+    """Row-banded variant for sources that do not fit VMEM: the source
+    stays in HBM (memory_space=ANY); each row tile DMAs only its source
+    row band [rowlo[j], rowlo[j] + band) into a double-buffered VMEM
+    scratch, prefetching tile j+1's band while computing tile j.  This is
+    the TPU equivalent of the reference CUDA kernel's any-size reach
+    (per-thread HBM gathers, ``geometry.py:8-155``) — but the loads stay
+    bulk DMAs and the math stays on the MXU."""
+    g = pl.program_id(0)
+    j = pl.program_id(1)
+    t = pl.program_id(2)
+
+    def band_dma(tile, slot):
+        return pltpu.make_async_copy(
+            src_any.at[pl.ds(rowlo[tile], band), g],
+            band_buf.at[slot], sems.at[slot])
+
+    @pl.when((j == 0) & (t == 0))
+    def _():
+        band_dma(0, 0).start()
+
+    @pl.when((t == 0) & (j + 1 < n_tiles))
+    def _():
+        band_dma(j + 1, (j + 1) % 2).start()
+
+    @pl.when(t == 0)
+    def _():
+        band_dma(j, j % 2).wait()
+
+    slot = j % 2
+
+    def read_row(idx, clo):
+        if col_banded:
+            return band_buf[slot, idx, :, pl.ds(clo, cb)]
+        return band_buf[slot, idx]
+    _tile_body(rowref, rowlo, colloref, colref, wref, read_row, out_ref,
+               tr=tr, cb=cb, cw=cw, k=k, mdtype=mdtype, precision=precision,
+               col_banded=col_banded)
+
+
+def apply_plan_pallas(image, plan: SamplePlan, tile_rows: int = 8,
+                      force_banded: bool = False):
     """Execute a row-separable plan via the fused Pallas kernel.
 
     Same numerics as :func:`hygrid_tpu.ops.sampling.apply_plan` (tested);
@@ -138,19 +277,20 @@ def apply_plan_pallas(image, plan: SamplePlan, tile_rows: int = 8):
     dec = rowsep_decompose(plan)
     if dec is None:
         return apply_plan(image, plan)
-    return _apply_plan_pallas_ad(image, plan, tile_rows)
+    return _apply_plan_pallas_ad(image, plan, tile_rows, force_banded)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
-def _apply_plan_pallas_ad(image, plan, tile_rows):
-    return _apply_plan_pallas_impl(image, plan, tile_rows)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _apply_plan_pallas_ad(image, plan, tile_rows, force_banded):
+    return _apply_plan_pallas_impl(image, plan, tile_rows, force_banded)
 
 
-def _apply_plan_pallas_fwd(image, plan, tile_rows):
-    return _apply_plan_pallas_impl(image, plan, tile_rows), image.shape
+def _apply_plan_pallas_fwd(image, plan, tile_rows, force_banded):
+    return (_apply_plan_pallas_impl(image, plan, tile_rows, force_banded),
+            image.shape)
 
 
-def _apply_plan_pallas_bwd(plan, tile_rows, img_shape, g):
+def _apply_plan_pallas_bwd(plan, tile_rows, force_banded, img_shape, g):
     h, w = plan.src_shape
     k = plan.idx.shape[0]
     lead = img_shape[:-2]
@@ -168,7 +308,8 @@ def _apply_plan_pallas_bwd(plan, tile_rows, img_shape, g):
 _apply_plan_pallas_ad.defvjp(_apply_plan_pallas_fwd, _apply_plan_pallas_bwd)
 
 
-def _apply_plan_pallas_impl(image, plan: SamplePlan, tile_rows: int = 8):
+def _apply_plan_pallas_impl(image, plan: SamplePlan, tile_rows: int = 8,
+                            force_banded: bool = False):
     dec = rowsep_decompose(plan)
     rowbase, cols, wts = dec
     h, w = plan.src_shape
@@ -183,27 +324,61 @@ def _apply_plan_pallas_impl(image, plan: SamplePlan, tile_rows: int = 8):
     out_dtype = (image.dtype if jnp.issubdtype(image.dtype, jnp.floating)
                  else jnp.float32)
 
-    # group leading planes so one group's source slab fits VMEM; a larger
-    # group raises the matmul M-dim (MXU utilisation), paid for by a raised
-    # scoped-vmem limit below
     esz = image.dtype.itemsize
     budget = 8 * 2**20
-    gb = max(1, min(bc, budget // max(1, h * w * esz)))
+    banded = force_banded or h * w * esz > budget
+
+    tr = tile_rows
+    pad_h1 = (-h1) % tr
+    if pad_h1:
+        # pad row bases edge-style so the padded tail does not widen the
+        # last tile's source band (padded rows carry zero weights)
+        rowbase = np.pad(rowbase, (0, pad_h1), mode="edge")
+        cols = np.pad(cols, ((0, 0), (0, 0), (0, pad_h1), (0, 0)))
+        wts = np.pad(wts, ((0, 0), (0, 0), (0, pad_h1), (0, 0)))
+    n_tiles = (h1 + pad_h1) // tr
+
+    # column bands: shrink the one-hot matrix (see _col_bands)
+    cband = _col_bands(cols, wts, w, w1)
+    if cband is not None:
+        cw, collo, cb, cols = cband
+        n_ctiles = collo.shape[0]
+        w1p = n_ctiles * cw
+        if w1p > w1:
+            cols = np.pad(cols, ((0, 0),) * 3 + ((0, w1p - w1),))
+            wts = np.pad(wts, ((0, 0),) * 3 + ((0, w1p - w1),))
+        # pad source lanes to a 128 multiple so clamped band starts stay
+        # aligned and in range
+        w_pad = -(-w // 128) * 128
+        if w_pad > w:
+            src = jnp.pad(src, ((0, 0), (0, 0), (0, w_pad - w)))
+    else:
+        cw, collo, cb = w1, np.zeros(1, np.int32), w
+        n_ctiles, w1p, w_pad = 1, w1, w
+
+    # group leading planes so one group's resident source (full plane, or
+    # double-buffered row band in banded mode) fits VMEM; a larger group
+    # raises the matmul M-dim (MXU utilisation)
+    if banded:
+        tilelo, band = _band_height(rowbase, h, tr)
+        # the in-kernel DMA slices the plane axis of the tiled HBM source,
+        # so the group extent must be a multiple of the dtype's sublane
+        # tile ("Slice shape must be aligned to tiling"); padded planes
+        # cost only DMA bytes — the matmul M-dim pads to the MXU tile
+        # regardless
+        sub = max(1, 32 // esz)
+        want = min(bc, budget // max(1, 2 * band * w_pad * esz))
+        gb = max(sub, (want // sub) * sub)
+    else:
+        tilelo = np.zeros(n_tiles, np.int32)
+        gb = max(1, min(bc, budget // max(1, h * w_pad * esz)))
     pad_bc = (-bc) % gb
     if pad_bc:
         src = jnp.pad(src, ((0, 0), (0, pad_bc), (0, 0)))
     n_groups = (bc + pad_bc) // gb
     # 4-D (h, n_groups, gb, w): the block's last two dims (gb, w) equal the
     # array's, satisfying Mosaic's block-divisibility rule for ANY gb
-    src = src.reshape(h, n_groups, gb, w)
-
-    tr = tile_rows
-    pad_h1 = (-h1) % tr
-    if pad_h1:
-        rowbase = np.pad(rowbase, (0, pad_h1))
-        cols = np.pad(cols, ((0, 0), (0, 0), (0, pad_h1), (0, 0)))
-        wts = np.pad(wts, ((0, 0), (0, 0), (0, pad_h1), (0, 0)))
-    n_tiles = (h1 + pad_h1) // tr
+    src = src.reshape(h, n_groups, gb, w_pad)
 
     # precision follows the image dtype (v5e measurements, 4K-mosaic-shaped
     # plan): 16-bit float images run native bf16 at the full MXU rate
@@ -216,27 +391,57 @@ def _apply_plan_pallas_impl(image, plan: SamplePlan, tile_rows: int = 8):
         mdtype, precision = image.dtype, lax.Precision.DEFAULT
     else:
         mdtype, precision = jnp.float32, lax.Precision.HIGHEST
-    kern = functools.partial(_resample_kernel, tr=tr, w=w, w1=w1, k=k,
-                             mdtype=mdtype, precision=precision)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n_groups, n_tiles),
-        in_specs=[
-            pl.BlockSpec((1, 2, k, tr, w1), lambda g, j, rows: (0, 0, 0, j, 0)),
-            pl.BlockSpec((1, 2, k, tr, w1), lambda g, j, rows: (0, 0, 0, j, 0)),
-            pl.BlockSpec((h, 1, gb, w), lambda g, j, rows: (0, g, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((gb, tr, w1), lambda g, j, rows: (g, j, 0)),
-    )
+
+    kw = dict(tr=tr, cb=cb, cw=cw, k=k, mdtype=mdtype, precision=precision,
+              col_banded=cband is not None)
+    common_in_specs = [
+        pl.BlockSpec((1, 2, k, tr, cw),
+                     lambda g, j, t, rows, rlo, clo: (0, 0, 0, j, t)),
+        pl.BlockSpec((1, 2, k, tr, cw),
+                     lambda g, j, t, rows, rlo, clo: (0, 0, 0, j, t)),
+    ]
+    out_specs = pl.BlockSpec(
+        (gb, tr, cw), lambda g, j, t, rows, rlo, clo: (g, j, t))
+    if banded:
+        kern = functools.partial(_resample_kernel_banded, band=band,
+                                 n_tiles=n_tiles, **kw)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(n_groups, n_tiles, n_ctiles),
+            in_specs=common_in_specs + [
+                pl.BlockSpec(memory_space=pl.ANY)],    # src stays in HBM
+            out_specs=out_specs,
+            scratch_shapes=[
+                pltpu.VMEM((2, band, gb, w_pad), image.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+    else:
+        kern = functools.partial(_resample_kernel, **kw)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(n_groups, n_tiles, n_ctiles),
+            in_specs=common_in_specs + [
+                pl.BlockSpec((h, 1, gb, w_pad),
+                             lambda g, j, t, rows, rlo, clo: (0, g, 0, 0))],
+            out_specs=out_specs,
+        )
+    # compress the shipped plan constants: rebased column indices fit
+    # int16, and for 16-bit images the weights ship in the matmul dtype
+    # (the kernel casts the finished selection matrix down anyway) —
+    # halves executable size and HBM for 4K-scale plans
+    if (np.abs(cols) < 2 ** 15).all():
+        cols = cols.astype(np.int16)
+    wdtype = mdtype if jnp.dtype(mdtype).itemsize == 2 else np.float32
     out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((bc + pad_bc, (h1 + pad_h1), w1),
+        out_shape=jax.ShapeDtypeStruct((bc + pad_bc, h1 + pad_h1, w1p),
                                        out_dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(30 * 2 ** 20)),
         interpret=jax.default_backend() != "tpu",
-    )(jnp.asarray(rowbase), jnp.asarray(cols)[None],
-      jnp.asarray(wts)[None], src)
-    out = out[:bc, :h1]
+    )(jnp.asarray(rowbase), jnp.asarray(tilelo), jnp.asarray(collo),
+      jnp.asarray(cols)[None], jnp.asarray(wts, dtype=wdtype)[None], src)
+    out = out[:bc, :h1, :w1]
     return out.reshape(lead + (h1, w1))

@@ -25,11 +25,17 @@ def make_frame_processor(height: int, width: int,
                          hex_size: Optional[Tuple[int, int]] = None,
                          interpolation: str = "bilinear",
                          filter_taps=None,
-                         post: Optional[Callable] = None):
+                         post: Optional[Callable] = None,
+                         compute_dtype=jnp.bfloat16):
     """Build a jitted (C, H, W) -> hex frame processor.
 
     Default pipeline: rect->hex at half resolution + hex Gaussian blur.
     ``post`` can append arbitrary jittable work (e.g. a HexCNN forward).
+
+    ``compute_dtype``: video frames are 8/10-bit content, so the default
+    bf16 path is lossless for the samples and runs the resample/filter
+    matmuls at the full MXU rate; pass ``jnp.float32`` for bit-parity with
+    the geometry goldens (the resample then runs 6-pass f32, ~2x slower).
     """
     if hex_size is None:
         hex_size = (height // 2, width // 2)
@@ -38,6 +44,7 @@ def make_frame_processor(height: int, width: int,
 
     @jax.jit
     def process(frame):
+        frame = frame.astype(compute_dtype)
         hexed = geometry.rect_to_hex_resample(frame[None], hex_size,
                                               interpolation)
         out = filters.hex_filter(hexed, filter_taps)

@@ -88,6 +88,40 @@ class Window:
     def change_hierarchy(self, delta: int):
         self.view = self.view.coarser(delta)
 
+    # -- the reference's live input bindings as scriptable events ---------
+    def key_event(self, key: str):
+        """One input event with the reference's exact deltas
+        (``window.py:78-123``): WASD/arrows pan by 0.01 clip units per
+        frame, scroll zooms by a clamped 1.1/0.9 step, numpad +/- steps
+        the mosaic hierarchy, PgUp/PgDn steps the image serial."""
+        key = key.lower()
+        pans = {"w": (0, 0.01), "up": (0, 0.01),
+                "s": (0, -0.01), "down": (0, -0.01),
+                "a": (-0.01, 0), "left": (-0.01, 0),
+                "d": (0.01, 0), "right": (0.01, 0)}
+        if key in pans:
+            self.pan(*pans[key])
+        elif key in ("scroll_up", "scroll+"):
+            self.zoom(1.1)                       # window.py:78-84 clamp
+        elif key in ("scroll_down", "scroll-"):
+            self.zoom(0.9)
+        elif key in ("+", "kp_add"):
+            self.change_hierarchy(1)
+        elif key in ("-", "kp_subtract"):
+            self.change_hierarchy(-1)
+        elif key in ("pgup", "page_up"):
+            self.delta_img_serialNum = -1
+        elif key in ("pgdn", "page_down"):
+            self.delta_img_serialNum = 1
+        else:
+            raise ValueError(f"unbound key {key!r}")
+
+    def drag(self, from_xy: Tuple[float, float], to_xy: Tuple[float, float]):
+        """Mouse-drag pan in window pixels (``window.py:127-135``:
+        dx += (lastX - x)/width, dy += (y - lastY)/height)."""
+        (x0, y0), (x1, y1) = from_xy, to_xy
+        self.pan((x0 - x1) / self.width, (y1 - y0) / self.height)
+
     def render_texture(self, tex: Texture) -> np.ndarray:
         """One frame: (3, height, width) uint8."""
         frame = render_mosaic(
