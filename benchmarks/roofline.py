@@ -1,0 +1,154 @@
+"""Roofline / utilisation accounting for the hot kernels (VERDICT r1 #10).
+
+For each hot stage this prints measured time, EXECUTED MXU FLOP/s and HBM
+GB/s against TPU v5e peaks, plus the *useful* (algorithmic) FLOPs so the
+packing overhead is explicit.  FLOP/byte counts come from
+``kernels.resample_pallas.kernel_cost`` — computed from the SAME
+``LaunchGeometry`` the kernel launches with — and from the conv stack's
+phase metadata, so the numbers cannot drift from shipped code.
+
+Run on TPU:  python benchmarks/roofline.py
+
+v5e peaks used (public figures): 197 TFLOP/s bf16 MXU, 819 GB/s HBM.
+f32 inputs run the selection matmuls at Precision.HIGHEST (6 bf16 passes)
+=> effective f32 matmul peak ~197/6 = 32.8 TFLOP/s.
+"""
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from suite import _timeit  # airtight scan-based timing harness
+
+from hygrid_tpu import lattice
+from hygrid_tpu.ops import geometry, sampling
+from hygrid_tpu.kernels.resample_pallas import apply_plan_pallas, kernel_cost
+from hygrid_tpu.kernels.conv_pallas import (_phase_meta_same,
+                                            hex_conv_stack_pallas)
+from hygrid_tpu.nn import functional as F
+
+PEAK_BF16 = 197e12          # v5e MXU, bf16
+PEAK_F32_HIGHEST = PEAK_BF16 / 6   # six-pass bit-parity mode
+PEAK_HBM = 819e9            # v5e HBM bandwidth
+PEAK_VPU = 4e12             # ~8x128 lanes x 4 ALUs x ~0.94 GHz (approx)
+
+
+def plan_rect_to_hex(h, w, h1, w1, interp="bilinear"):
+    return sampling.rect_sample_plan(
+        *geometry._linspace_grid(lattice.corner_box("rect_source", h, w),
+                                 h1, w1),
+        h, w, interp)
+
+
+def plan_hex_to_rect(h, w, h1, w1, interp="linear"):
+    return sampling.hex_sample_plan(
+        *geometry._linspace_grid(lattice.corner_box("hex_to_rect", h, w),
+                                 h1, w1),
+        h, w, interp)
+
+
+def plan_mosaic(h, w, out_h, out_w):
+    from hygrid_tpu.viz.render import mosaic_plan
+    flat, mask = mosaic_plan(h, w, out_h, out_w, 0, None)
+    return sampling.SamplePlan(flat[None], mask[None], (h, w),
+                               (out_h, out_w), exact_select=True)
+
+
+def conv_stack_cost(b, c, h, w, radius, n_layers, dtype):
+    """Executed/useful work of ``hex_conv_stack_pallas`` (layer-per-call
+    mode), from the same phase metadata the kernel builds its matmuls
+    from (``conv_pallas._phase_meta_same`` / ``_stack_layer_kernel``)."""
+    q = 128 // c
+    h2 = h // 2
+    wp = -(-w // q)
+    meta_e, meta_o = _phase_meta_same(radius, 1, q)
+    n_mats = len(meta_e) + len(meta_o)
+    esz = jnp.dtype(dtype).itemsize
+    # per layer: each phase runs len(meta) dots of (bg*h2*wp, 128)@(128, qc)
+    mxu = n_layers * b * n_mats * 2 * (h2 * wp) * 128 * (q * c)
+    max_sblk = max(sb for m in (meta_e, meta_o) for ((s, r, sb), _) in m)
+    max_r0 = max(r for m in (meta_e, meta_o) for ((s, r, sb), _) in m)
+    rows_tot = 1 + h2 + max(0, max_r0 - 1)
+    cols_tot = 1 + wp + max(0, max_sblk - 1)
+    plane = rows_tot * cols_tot * 128 * esz
+    hbm = n_layers * b * 2 * plane * 2          # even+odd planes, read+write
+    kn = F.hex_kernel_num(radius)
+    useful = n_layers * b * 2 * h * w * c * c * kn
+    return dict(mxu_flops=mxu, hbm_bytes=hbm, useful_flops=useful)
+
+
+def report(name, seconds, mxu_flops, hbm_bytes, useful_flops, peak_flops,
+           vpu_elems=None):
+    tf = mxu_flops / seconds / 1e12
+    gbs = hbm_bytes / seconds / 1e9
+    row = {
+        "stage": name,
+        "ms": round(seconds * 1e3, 3),
+        "mxu_tflops": round(tf, 2),
+        "mxu_util_pct": round(100 * tf * 1e12 / peak_flops, 1),
+        "hbm_gbs": round(gbs, 1),
+        "hbm_util_pct": round(100 * gbs * 1e9 / PEAK_HBM, 1),
+        "useful_tflops": round(useful_flops / seconds / 1e12, 3),
+        "pack_overhead_x": round(mxu_flops / max(useful_flops, 1), 1),
+    }
+    if vpu_elems is not None:
+        row["vpu_gelems_s"] = round(vpu_elems / seconds / 1e9, 1)
+        row["vpu_util_pct_approx"] = round(
+            100 * 3 * vpu_elems / seconds / PEAK_VPU, 1)
+    print(json.dumps(row))
+    return row
+
+
+def bench_resample(name, plan, lead, dtype, n=16, peak=PEAK_BF16):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random(lead + plan.src_shape), dtype)
+    f = jax.jit(lambda v: apply_plan_pallas(v, plan))
+    sec = _timeit(f, x, n=n)
+    cost = kernel_cost(plan, lead, dtype)
+    return report(name, sec, cost["mxu_flops"], cost["hbm_bytes"],
+                  cost["useful_flops"], peak, vpu_elems=cost["vpu_elems"])
+
+
+def bench_conv_stack(b, c, h, w, radius, n_layers, dtype, n=12):
+    rng = np.random.default_rng(0)
+    kn = F.hex_kernel_num(radius)
+    kernels = [jnp.asarray(rng.normal(0, 0.1, (c, c, kn)), dtype)
+               for _ in range(n_layers)]
+    x = jnp.asarray(rng.random((b, c, h, w)), dtype)
+    f = jax.jit(lambda v: hex_conv_stack_pallas(v, kernels, None,
+                                                radius=radius))
+    sec = _timeit(f, x, n=n)
+    cost = conv_stack_cost(b, c, h, w, radius, n_layers, dtype)
+    peak = PEAK_BF16 if jnp.dtype(dtype).itemsize == 2 else PEAK_F32_HIGHEST
+    return report(f"conv_stack {n_layers}L C={c} {h}x{w} b={b} {dtype}",
+                  sec, cost["mxu_flops"], cost["hbm_bytes"],
+                  cost["useful_flops"], peak)
+
+
+def main():
+    lead16 = (16, 3)
+    # north-star stages (bench.py shapes, bf16)
+    bench_resample("rect->hex 512->256 bilinear bf16 (16,3)",
+                   plan_rect_to_hex(512, 512, 256, 256), lead16, jnp.bfloat16)
+    bench_resample("hex->rect 256->512 linear bf16 (16,3)",
+                   plan_hex_to_rect(256, 256, 512, 512), lead16, jnp.bfloat16)
+    bench_conv_stack(16, 16, 256, 256, 2, 11, jnp.bfloat16)
+    # f32 parity mode for contrast
+    bench_resample("hex->rect 256->512 linear f32 (16,3)",
+                   plan_hex_to_rect(256, 256, 512, 512), lead16, jnp.float32,
+                   peak=PEAK_F32_HIGHEST)
+    # >VMEM banded kernel at 4K
+    bench_resample("hex->rect 4K->4K linear bf16 banded (3,)",
+                   plan_hex_to_rect(2160, 3840, 2160, 3840), (3,),
+                   jnp.bfloat16, n=6)
+    # 4K mosaic (exact-select plan)
+    bench_resample("mosaic 540x960 -> 4K exact-select bf16 (3,)",
+                   plan_mosaic(540, 960, 2160, 3840), (3,), jnp.bfloat16,
+                   n=8)
+
+
+if __name__ == "__main__":
+    main()

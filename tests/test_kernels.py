@@ -201,3 +201,120 @@ def test_pallas_resample_grad_matches_xla():
     g1 = jax.grad(lambda x: jnp.sum(sampling.apply_plan(x, plan) ** 2))(img)
     g2 = jax.grad(lambda x: jnp.sum(apply_plan_pallas(x, plan) ** 2))(img)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)
+
+
+# ---------------- phase-cached resample mode (round 2) ----------------
+
+def _mk_plan(kind, method, src, out):
+    from hygrid_tpu.ops import sampling, geometry
+    from hygrid_tpu import lattice
+    sh, sw = src
+    oh, ow = out
+    box = "rect_source" if kind == "rect" else "hex_to_rect"
+    gx, gy = geometry._linspace_grid(lattice.corner_box(box, sh, sw), oh, ow)
+    return (sampling.rect_sample_plan(gx, gy, sh, sw, method)
+            if kind == "rect"
+            else sampling.hex_sample_plan(gx, gy, sh, sw, method))
+
+
+def test_phase_dedup_periodic_same_size():
+    """Same-size hex->rect plans repeat their (columns, weights) row
+    pattern every few rows — the launch geometry must detect this (the 4K
+    bench case has 3 phases out of 2160 rows) and the phase-cached kernel
+    must match the XLA gather bit-for-bit at f32."""
+    from hygrid_tpu.ops import sampling
+    from hygrid_tpu.kernels.resample_pallas import (_launch_geometry,
+                                                    apply_plan_pallas)
+    plan = _mk_plan("hex", "linear", (96, 128), (96, 128))
+    g = _launch_geometry(plan, 3, 4)
+    assert g.phase_mode and g.n_phases <= 4
+    rng = np.random.default_rng(0)
+    x = rng.random((3, 96, 128)).astype(np.float32)
+    a = np.asarray(apply_plan_pallas(x, plan))
+    b = np.asarray(sampling.apply_plan(x, plan))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+@pytest.mark.parametrize("force_banded", [False, True])
+def test_phase_mode_matches_xla(force_banded):
+    """Plans with few distinct row patterns ride the phase-cached kernel
+    (selection matrices built once per column tile into VMEM scratch);
+    both the full-source and banded variants must match XLA."""
+    from hygrid_tpu.ops import sampling
+    from hygrid_tpu.kernels.resample_pallas import (_launch_geometry,
+                                                    apply_plan_pallas)
+    plan = _mk_plan("rect", "bilinear", (64, 64), (32, 32))
+    g = _launch_geometry(plan, 6, 4, force_banded=force_banded)
+    assert g.phase_mode
+    rng = np.random.default_rng(1)
+    x = rng.random((2, 3, 64, 64)).astype(np.float32)
+    a = np.asarray(apply_plan_pallas(x, plan, force_banded=force_banded))
+    b = np.asarray(sampling.apply_plan(x, plan))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_legacy_mode_still_selected_and_matches():
+    """Plans with too many distinct row patterns keep the per-row one-hot
+    build (legacy kernels)."""
+    from hygrid_tpu.ops import sampling
+    from hygrid_tpu.kernels.resample_pallas import (_launch_geometry,
+                                                    apply_plan_pallas)
+    plan = _mk_plan("hex", "linear", (64, 128), (128, 256))
+    g = _launch_geometry(plan, 3, 4)
+    assert not g.phase_mode and g.n_phases > 64
+    rng = np.random.default_rng(2)
+    x = rng.random((3, 64, 128)).astype(np.float32)
+    a = np.asarray(apply_plan_pallas(x, plan))
+    b = np.asarray(sampling.apply_plan(x, plan))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_exact_select_single_dslot():
+    """Exact-select (mosaic/nearest) plans whose terms all sit on one band
+    row must drop the dead row-part: half the one-hot builds and matmuls."""
+    from hygrid_tpu.ops import sampling
+    from hygrid_tpu.kernels.resample_pallas import (_launch_geometry,
+                                                    apply_plan_pallas)
+    # one source row per output row, none touching the last source row:
+    # every term sits at band delta 0
+    h, w, oh = 16, 48, 32
+    rows = (np.arange(oh) % 8)[:, None] * w
+    cols = ((np.arange(w)[None, :] * 7) % w)
+    flat = np.broadcast_to(rows + cols, (oh, w)).astype(np.int32)
+    mask = np.ones((oh, w), np.float32)
+    plan = sampling.SamplePlan(flat[None], mask[None], (h, w),
+                               (oh, w), exact_select=True)
+    g = _launch_geometry(plan, 3, 4)
+    assert g.d_slots == (0,)
+    rng = np.random.default_rng(3)
+    x = rng.random((3, h, w)).astype(np.float32)
+    a = np.asarray(apply_plan_pallas(x, plan))
+    b = np.asarray(sampling.apply_plan(x, plan))
+    np.testing.assert_allclose(a, b, atol=0)
+
+
+def test_phase_grad_matches_xla():
+    """The custom VJP is mode-independent; cover it through a phased plan."""
+    from hygrid_tpu.ops import sampling
+    from hygrid_tpu.kernels.resample_pallas import apply_plan_pallas
+    plan = _mk_plan("rect", "bilinear", (32, 32), (16, 16))
+    rng = np.random.default_rng(4)
+    img = jnp.asarray(rng.random((2, 32, 32)), jnp.float32)
+    g1 = jax.grad(lambda v: jnp.sum(apply_plan_pallas(v, plan) ** 2))(img)
+    g2 = jax.grad(lambda v: jnp.sum(sampling.apply_plan(v, plan) ** 2))(img)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)
+
+
+def test_kernel_cost_reports_launch_geometry():
+    """Roofline accounting (PERF.md utilisation table) must derive from the
+    same LaunchGeometry the launcher uses."""
+    from hygrid_tpu.kernels.resample_pallas import kernel_cost
+    plan = _mk_plan("rect", "bilinear", (64, 64), (32, 32))
+    c = kernel_cost(plan, (2, 3), jnp.float32)
+    assert c["mxu_flops"] > 0 and c["hbm_bytes"] > 0
+    assert c["useful_flops"] == 2 * int((plan.weights != 0).sum()) * 6
+    g = c["geometry"]
+    assert g.phase_mode
+    # phased VPU cost counts builds once per (group, column tile)
+    assert c["vpu_elems"] == (g.n_groups * g.n_ctiles * g.n_phases
+                              * len(g.d_slots) * g.k * g.cb * g.cw)
