@@ -23,6 +23,17 @@ import jax.numpy as jnp
 
 from suite import _timeit  # airtight scan-based timing harness
 
+
+def _timeit_slope(f, *a, n=24):
+    """Two-point variant of ``_timeit``: the tunnel's per-call
+    dispatch+fetch cost (~30 ms) is constant in the scan length, so the
+    per-iteration device time is the slope between an n-iteration and a
+    2n-iteration scan — sub-millisecond stages need this, a single
+    amortised measurement would be dominated by 30/n ms."""
+    t1 = _timeit(f, *a, n=n)
+    t2 = _timeit(f, *a, n=2 * n)
+    return max(2 * t2 - t1, 1e-9)
+
 from hygrid_tpu import lattice
 from hygrid_tpu.ops import geometry, sampling
 from hygrid_tpu.kernels.resample_pallas import apply_plan_pallas, kernel_cost
@@ -106,7 +117,7 @@ def bench_resample(name, plan, lead, dtype, n=16, peak=PEAK_BF16):
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.random(lead + plan.src_shape), dtype)
     f = jax.jit(lambda v: apply_plan_pallas(v, plan))
-    sec = _timeit(f, x, n=n)
+    sec = _timeit_slope(f, x, n=n)
     cost = kernel_cost(plan, lead, dtype)
     return report(name, sec, cost["mxu_flops"], cost["hbm_bytes"],
                   cost["useful_flops"], peak, vpu_elems=cost["vpu_elems"])
@@ -120,7 +131,7 @@ def bench_conv_stack(b, c, h, w, radius, n_layers, dtype, n=12):
     x = jnp.asarray(rng.random((b, c, h, w)), dtype)
     f = jax.jit(lambda v: hex_conv_stack_pallas(v, kernels, None,
                                                 radius=radius))
-    sec = _timeit(f, x, n=n)
+    sec = _timeit_slope(f, x, n=n)
     cost = conv_stack_cost(b, c, h, w, radius, n_layers, dtype)
     peak = PEAK_BF16 if jnp.dtype(dtype).itemsize == 2 else PEAK_F32_HIGHEST
     return report(f"conv_stack {n_layers}L C={c} {h}x{w} b={b} {dtype}",

@@ -579,6 +579,22 @@ def kernel_cost(plan: SamplePlan, lead: tuple, dtype,
     h, w = plan.src_shape
     grid = g.n_groups * g.n_tiles * g.n_ctiles
     n_d = len(g.d_slots)
+    msize = 2 if esz == 2 else 4
+    out_esz = esz if jnp.issubdtype(jnp.dtype(dtype), jnp.floating) else 4
+    useful_flops = 2 * int((plan.weights != 0).sum()) * bc
+    per = None if force_banded else periodic_decompose(g, plan.out_shape[0])
+    if per is not None:
+        # pure-XLA periodic path: P*n_d*n_ctiles large matmuls
+        P, S, lo, hi = per
+        n = (hi - lo) // P
+        mxu = P * n_d * g.n_ctiles * 2 * (bc * n) * g.cb * g.cw
+        src = P * n_d * g.n_ctiles * bc * n * g.cb * esz
+        consts = P * n_d * g.n_ctiles * g.cb * g.cw * msize
+        outb = bc * plan.out_shape[0] * g.w1p * out_esz
+        return dict(mxu_flops=mxu, vpu_elems=0,
+                    hbm_bytes=src + consts + outb, src_bytes=src,
+                    out_bytes=outb, plan_bytes=consts,
+                    useful_flops=useful_flops, geometry=g, periodic=per)
     # per grid step: tr rows x live row-parts x one (gb,cb)@(cb,cw) dot
     mxu_flops = grid * g.tr * n_d * (2 * g.gb * g.cb * g.cw)
     cols_esz = 2 if (np.abs(g.cols) < 2 ** 15).all() else 4
@@ -605,14 +621,155 @@ def kernel_cost(plan: SamplePlan, lead: tuple, dtype,
                          * g.w_pad * esz)
     else:
         src_bytes = g.n_groups * h * g.gb * g.w_pad * esz
-    out_esz = esz if jnp.issubdtype(jnp.dtype(dtype), jnp.floating) else 4
     out_bytes = (bc + g.pad_bc) * (g.rowbase.shape[0]) * g.w1p * out_esz
-    useful_flops = 2 * int((plan.weights != 0).sum()) * bc
     return dict(mxu_flops=mxu_flops, vpu_elems=vpu_elems,
                 hbm_bytes=src_bytes + plan_bytes + out_bytes,
                 src_bytes=src_bytes, out_bytes=out_bytes,
                 plan_bytes=plan_bytes, useful_flops=useful_flops,
                 geometry=g)
+
+
+def periodic_decompose(geo: LaunchGeometry, h1: int, max_period: int = 16):
+    """Detect an exactly periodic row structure: a span of output rows
+    where ``phase_idx`` repeats with period P and ``rowbase`` advances by a
+    constant stride S per period (integer-ratio resamples; e.g. the
+    same-size 4K hex->rect plan is [2,1]-periodic with S=2, broken only by
+    the clamped last row).  Returns ``(P, S, lo, hi)`` — the span
+    ``[lo, hi)`` is periodic, ``lo % P == 0`` relative to itself — or None.
+    Rows outside the span fall back to the XLA gather (they must be few)."""
+    ph = geo.phase_idx[:h1].astype(np.int64)
+    rb = geo.rowbase[:h1].astype(np.int64)
+    for P in range(1, max_period + 1):
+        if h1 < 3 * P:
+            continue
+        m0 = (h1 // (2 * P)) * P                  # a middle period start
+        pattern = ph[m0:m0 + P]
+        base = rb[m0:m0 + P] - rb[m0]
+        S = int(rb[m0 + P] - rb[m0])
+        if S < 0:
+            continue
+        i = np.arange(h1)
+        per = (i - m0) % P
+        exp_rb = rb[m0] + ((i - m0) // P) * S + base[per]
+        ok = (ph == pattern[per]) & (rb == exp_rb)
+        if not ok[m0]:
+            continue
+        lo = m0
+        while lo - P >= 0 and ok[lo - P:lo].all():
+            lo -= P
+        hi = m0 + P
+        while hi + P <= h1 and ok[hi:hi + P].all():
+            hi += P
+        if hi - lo >= h1 - 4 * max_period and hi - lo >= 2 * P:
+            return P, S, lo, hi
+    return None
+
+
+def _build_selection_matrices(geo: LaunchGeometry, rows, wdtype):
+    """Host-side one-hot selection matrices for the given output rows:
+    ``(len(rows), n_d, n_ctiles, cb, cw)``, same math as the in-kernel
+    build (``_tile_body``)."""
+    n_d = len(geo.d_slots)
+    out = np.zeros((len(rows), n_d, geo.n_ctiles, geo.cb, geo.cw),
+                   np.float32)
+    for ri, r in enumerate(rows):
+        for di, d in enumerate(geo.d_slots):
+            for kk in range(geo.k):
+                c = geo.cols[d, kk, r]            # (w1p,) rebased
+                wv = geo.wts[d, kk, r]
+                for t in range(geo.n_ctiles):
+                    cs = c[t * geo.cw:(t + 1) * geo.cw]
+                    ws = wv[t * geo.cw:(t + 1) * geo.cw]
+                    js = np.arange(cs.shape[0])
+                    # zero-weight placeholder slots may carry out-of-band
+                    # (e.g. negative rebased) columns — the in-kernel
+                    # iota==c build ignores them; drop them here too
+                    live = (ws != 0) & (cs >= 0) & (cs < geo.cb)
+                    np.add.at(out[ri, di, t], (cs[live], js[live]),
+                              ws[live])
+    return out.astype(wdtype)
+
+
+_PERIODIC_CACHE: dict = {}
+
+
+def _apply_plan_periodic(image, plan: SamplePlan, geo: LaunchGeometry,
+                         P: int, S: int, lo: int, hi: int):
+    """Pure-XLA execution of an exactly periodic plan: for each period
+    position q (and live row-part d), ALL its output rows come from a
+    strided row slice of the source and share ONE selection matrix — so
+    the whole resample is ``P * n_d * n_ctiles`` large matmuls
+    (M = n_rows_per_phase * planes) at full MXU efficiency, with no
+    per-row work at all.  The few non-periodic boundary rows ride the XLA
+    gather.  This is the fastest path for integer-ratio resamples (the 4K
+    same-size case: 10.4 ms phased-Pallas -> large-matmul XLA)."""
+    import weakref
+
+    h, w = plan.src_shape
+    h1, w1 = plan.out_shape
+    lead = image.shape[:-2]
+    bc = int(np.prod(lead)) if lead else 1
+    x = image.reshape((bc, h, w))
+    out_dtype = (image.dtype if jnp.issubdtype(image.dtype, jnp.floating)
+                 else jnp.float32)
+    if image.dtype.itemsize == 2:
+        mdtype, precision = image.dtype, lax.Precision.DEFAULT
+    else:
+        mdtype, precision = jnp.float32, lax.Precision.HIGHEST
+    if geo.w_pad > w:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, geo.w_pad - w)))
+    xm = x.astype(mdtype)
+
+    key = id(plan)
+    cached = _PERIODIC_CACHE.get(key)
+    if cached is None:
+        mats = _build_selection_matrices(geo, range(lo, lo + P),
+                                         np.dtype(mdtype).name)
+        _PERIODIC_CACHE[key] = mats
+        if len(_PERIODIC_CACHE) > 16:
+            _PERIODIC_CACHE.pop(next(iter(_PERIODIC_CACHE)))
+        weakref.finalize(plan, _PERIODIC_CACHE.pop, key, None)
+        cached = mats
+    mats = jnp.asarray(cached)                    # (P, n_d, n_t, cb, cw)
+
+    n = (hi - lo) // P
+    rb = geo.rowbase.astype(np.int64)
+    clo = geo.collo.astype(np.int64)
+    parts = []
+    for q in range(P):
+        acc = None
+        for di, d in enumerate(geo.d_slots):
+            start = int(rb[lo + q]) + d
+            rows = xm[:, start:start + S * (n - 1) + 1:S, :] if S else (
+                jnp.broadcast_to(xm[:, start:start + 1, :],
+                                 (bc, n, geo.w_pad)))
+            if geo.col_banded:
+                bands = jnp.stack([
+                    rows[:, :, int(clo[t]):int(clo[t]) + geo.cb]
+                    for t in range(geo.n_ctiles)])   # (n_t, bc, n, cb)
+            else:
+                bands = rows[None]
+            term = jnp.einsum("tbnc,tcw->bntw", bands, mats[q, di],
+                              precision=precision,
+                              preferred_element_type=jnp.float32)
+            acc = term if acc is None else acc + term
+        parts.append(acc.reshape(bc, n, geo.n_ctiles * geo.cw))
+    main = jnp.stack(parts, axis=2).reshape(bc, n * P, geo.w1p)[..., :w1]
+
+    pieces = []
+    if lo > 0:
+        head = SamplePlan(plan.idx[:, :lo], plan.weights[:, :lo],
+                          plan.src_shape, (lo, w1), plan.exact_select)
+        pieces.append(apply_plan(image.reshape((bc, h, w)), head)
+                      .astype(jnp.float32))
+    pieces.append(main)
+    if hi < h1:
+        tail = SamplePlan(plan.idx[:, hi:], plan.weights[:, hi:],
+                          plan.src_shape, (h1 - hi, w1), plan.exact_select)
+        pieces.append(apply_plan(image.reshape((bc, h, w)), tail)
+                      .astype(jnp.float32))
+    out = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=1)
+    return out.astype(out_dtype).reshape(lead + (h1, w1))
 
 
 def _apply_plan_pallas_impl(image, plan: SamplePlan, tile_rows: int = 8,
@@ -623,6 +780,10 @@ def _apply_plan_pallas_impl(image, plan: SamplePlan, tile_rows: int = 8,
     h, w = plan.src_shape
     esz = image.dtype.itemsize
     geo = _launch_geometry(plan, bc, esz, tile_rows, force_banded)
+    if not force_banded:
+        per = periodic_decompose(geo, plan.out_shape[0])
+        if per is not None:
+            return _apply_plan_periodic(image, plan, geo, *per)
     rowbase, cols, wts = geo.rowbase, geo.cols, geo.wts
     tilelo, collo = geo.tilelo, geo.collo
     banded, band, gb = geo.banded, geo.band, geo.gb

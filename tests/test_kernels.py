@@ -318,3 +318,52 @@ def test_kernel_cost_reports_launch_geometry():
     # phased VPU cost counts builds once per (group, column tile)
     assert c["vpu_elems"] == (g.n_groups * g.n_ctiles * g.n_phases
                               * len(g.d_slots) * g.k * g.cb * g.cw)
+
+
+@pytest.mark.parametrize("method,tol", [("linear", 0.0), ("nearest", 0.0)])
+def test_periodic_path_selected_and_exact(method, tol):
+    """Integer-ratio plans (same-size hex->rect: the 4K bench config) have
+    an exactly periodic row structure and must ride the pure-XLA
+    large-matmul path — P*n_d*n_ctiles matmuls, no per-row work — with
+    bit-exact f32 parity vs the XLA gather (boundary rows fall back to the
+    gather inside the same call)."""
+    from hygrid_tpu.ops import sampling
+    from hygrid_tpu.kernels.resample_pallas import (
+        _launch_geometry, periodic_decompose, apply_plan_pallas)
+    plan = _mk_plan("hex", method, (96, 128), (96, 128))
+    g = _launch_geometry(plan, 6, 4)
+    per = periodic_decompose(g, 96)
+    assert per is not None and per[0] <= 2
+    rng = np.random.default_rng(5)
+    x = rng.random((2, 3, 96, 128)).astype(np.float32)
+    a = np.asarray(apply_plan_pallas(x, plan))
+    b = np.asarray(sampling.apply_plan(x, plan))
+    np.testing.assert_allclose(a, b, atol=tol)
+
+
+def test_periodic_grad_matches_xla():
+    from hygrid_tpu.ops import sampling
+    from hygrid_tpu.kernels.resample_pallas import apply_plan_pallas
+    plan = _mk_plan("hex", "linear", (48, 64), (48, 64))
+    rng = np.random.default_rng(6)
+    img = jnp.asarray(rng.random((2, 48, 64)), jnp.float32)
+    g1 = jax.grad(lambda v: jnp.sum(apply_plan_pallas(v, plan) ** 2))(img)
+    g2 = jax.grad(lambda v: jnp.sum(sampling.apply_plan(v, plan) ** 2))(img)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)
+
+
+def test_periodic_col_banded_matches_xla():
+    """Wide periodic plans engage column banding; the host-built selection
+    matrices must ignore zero-weight placeholder slots whose rebased
+    columns fall outside the band (negative after rebase)."""
+    from hygrid_tpu.ops import sampling
+    from hygrid_tpu.kernels.resample_pallas import (
+        _launch_geometry, periodic_decompose, apply_plan_pallas)
+    plan = _mk_plan("hex", "linear", (64, 2560), (64, 2560))
+    g = _launch_geometry(plan, 6, 4)
+    assert g.col_banded and periodic_decompose(g, 64) is not None
+    rng = np.random.default_rng(7)
+    x = rng.random((2, 3, 64, 2560)).astype(np.float32)
+    a = np.asarray(apply_plan_pallas(x, plan))
+    b = np.asarray(sampling.apply_plan(x, plan))
+    np.testing.assert_allclose(a, b, atol=1e-5)
