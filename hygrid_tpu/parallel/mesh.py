@@ -11,6 +11,8 @@ the framework:
 * ``"sp"`` — spatial parallel (image-row axis; XLA auto-inserts halo
   exchanges for convs, or use :mod:`.spatial` for explicit shard_map halos)
 * ``"tp"`` — tensor parallel (channel axis of conv kernels / dense layers)
+* ``"pp"`` — pipeline parallel (conv-stack layer groups staged over devices;
+  see :mod:`.pipeline`)
 """
 from __future__ import annotations
 

@@ -279,3 +279,98 @@ class TestHexResNet:
             if l0 is None:
                 l0 = float(metrics["loss"])
         assert float(metrics["loss"]) < l0
+
+
+class TestPipelineParallel:
+    """GPipe microbatch pipeline over the pp mesh axis (parallel/pipeline.py).
+
+    The reference has no pipeline concept (SURVEY.md section 2.4); correctness
+    target is exact equality with sequential layer application.
+    """
+
+    def _stack(self, L=8, C=4, r=2, seed=0):
+        rng = np.random.default_rng(seed)
+        kn = F.hex_kernel_num(r)
+        ks = jnp.asarray(rng.normal(0, 0.3, (L, C, C, kn)), jnp.float32)
+        x = jnp.asarray(rng.normal(size=(8, C, 12, 12)), jnp.float32)
+        return ks, x, r
+
+    def _sequential(self, x, ks, r, act=None):
+        h = x
+        for i in range(ks.shape[0]):
+            h = F.hex_conv2d(h, ks[i], even_odd_offset=0, radius=r,
+                             padding=r - 1)
+            if act is not None:
+                h = act(h)
+        return h
+
+    def test_matches_sequential(self):
+        from hygrid_tpu.parallel import pipeline_hex_conv_stack
+        ks, x, r = self._stack()
+        mesh = parallel.create_mesh({"pp": 4})
+        y = pipeline_hex_conv_stack(x, ks, mesh, radius=r, microbatches=4)
+        np.testing.assert_array_equal(np.asarray(y),
+                                      np.asarray(self._sequential(x, ks, r)))
+
+    def test_activation_and_more_microbatches(self):
+        from hygrid_tpu.parallel import pipeline_hex_conv_stack
+        ks, x, r = self._stack()
+        mesh = parallel.create_mesh({"pp": 2})
+        y = pipeline_hex_conv_stack(x, ks, mesh, radius=r, microbatches=8,
+                                    activation=jax.nn.relu)
+        want = self._sequential(x, ks, r, act=jax.nn.relu)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(want), atol=1e-6)
+
+    def test_gradients_match_sequential(self):
+        from hygrid_tpu.parallel import pipeline_hex_conv_stack
+        ks, x, r = self._stack(L=4)
+        mesh = parallel.create_mesh({"pp": 4})
+
+        def loss_pp(k):
+            return jnp.sum(pipeline_hex_conv_stack(
+                x, k, mesh, radius=r, microbatches=4) ** 2)
+
+        def loss_seq(k):
+            return jnp.sum(self._sequential(x, k, r) ** 2)
+
+        g1 = jax.grad(loss_pp)(ks)
+        g2 = jax.grad(loss_seq)(ks)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_generic_pipeline_apply(self):
+        from hygrid_tpu.parallel import pipeline_apply, stack_stage_params
+        rng = np.random.default_rng(3)
+        S, D = 4, 6
+        mesh = parallel.create_mesh({"pp": S})
+        stages = [{"w": jnp.asarray(rng.normal(0, 0.5, (D, D)), jnp.float32),
+                   "b": jnp.asarray(rng.normal(size=(D,)), jnp.float32)}
+                  for _ in range(S)]
+        params = stack_stage_params(stages)
+        x = jnp.asarray(rng.normal(size=(8, D)), jnp.float32)
+
+        def stage_fn(p, xm):
+            return jnp.tanh(xm @ p["w"] + p["b"])
+
+        y = pipeline_apply(stage_fn, params, x, mesh, microbatches=4)
+        want = x
+        for p in stages:
+            want = stage_fn(p, want)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(want), atol=1e-6)
+
+    def test_rejects_bad_configs(self):
+        from hygrid_tpu.parallel import (pipeline_apply,
+                                         pipeline_hex_conv_stack)
+        ks, x, r = self._stack(L=6)
+        mesh = parallel.create_mesh({"pp": 4})
+        with pytest.raises(ValueError):  # 6 layers over 4 stages
+            pipeline_hex_conv_stack(x, ks, mesh, radius=r)
+        ks8, _, _ = self._stack(L=8)
+        with pytest.raises(ValueError):  # fewer microbatches than stages
+            pipeline_hex_conv_stack(x, ks8, mesh, radius=r, microbatches=2)
+        with pytest.raises(ValueError):  # nonzero offset unsupported
+            pipeline_hex_conv_stack(x, ks8, mesh, radius=r, microbatches=4,
+                                    even_odd_offset=1)
+        with pytest.raises(ValueError):  # batch not divisible
+            pipeline_apply(lambda p, v: v, jnp.zeros((4, 1)), x, mesh,
+                           microbatches=5)
