@@ -101,7 +101,9 @@ def bench_hexcnn(batch=256):
 
     @jax.jit
     def f(v):
-        return model.apply(params, hexify_batch(v))
+        # bf16 end-to-end (production inference dtype, as in bench.py):
+        # f32 inputs would run the resample in 6-pass bit-parity mode
+        return model.apply(params, hexify_batch(v.astype(jnp.bfloat16)))
 
     per = _timeit(f, x, n=10)
     print(json.dumps({
@@ -124,7 +126,8 @@ def bench_hexcnn512(batch=32):
 
     @jax.jit
     def f(v):
-        return model.apply(params, hexify_batch(v))
+        # bf16 end-to-end (production inference dtype, as in bench.py)
+        return model.apply(params, hexify_batch(v.astype(jnp.bfloat16)))
 
     per = _timeit(f, x, n=8)
     print(json.dumps({

@@ -222,13 +222,15 @@ def _stack_layer_kernel(xe_ref, xo_ref, me_ref, mo_ref, be_ref,
                         oute_ref, outo_ref, *, meta_e, meta_o, h2, wp_out,
                         relu: bool, has_bias: bool, tail_cut: int,
                         bg: int = 1):
-    """One packed-domain 'same' layer.  Inputs carry a 1-row/1-packed-col
-    zero margin (indices in ``meta`` are pre-shifted); outputs are written
-    in the SAME margined layout — margins zeroed and the ragged tail pixels
-    masked in-kernel — so layers chain with no host-side re-padding.
-    ``bg`` batch elements share each grid step (bigger matmul M-dim)."""
-    def run_phase(meta, mref, oref):
-        lanes = oref.shape[-1]
+    """One packed-domain 'same' layer, IN-PLACE (``input_output_aliases``
+    maps xe->oute / xo->outo).  Inputs carry a 1-row/1-packed-col zero
+    margin (indices in ``meta`` are pre-shifted); because the out refs
+    alias the in refs, those zero margins persist without any re-zeroing —
+    the kernel computes BOTH phases first (all reads), then stores only the
+    interiors.  Ragged tail pixels are masked in-kernel so the next layer's
+    edge reads see proper zero padding.  ``bg`` batch elements share each
+    grid step (bigger matmul M-dim)."""
+    def run_phase(meta, mref, lanes):
         acc = jnp.zeros((bg * h2 * wp_out, lanes), jnp.float32)
         for idx, ((src, r0, sblk), _) in enumerate(meta):
             ref = xe_ref if src == 0 else xo_ref
@@ -241,18 +243,19 @@ def _stack_layer_kernel(xe_ref, xo_ref, me_ref, mo_ref, be_ref,
             acc = jnp.maximum(acc, 0.0)
         out = acc.reshape(bg, h2, wp_out, lanes)
         if tail_cut:
-            # zero the ragged tail pixels of the last packed column so the
-            # next layer's edge reads see proper zero padding (mask built
-            # in-kernel: pallas kernels cannot capture array constants)
+            # mask built in-kernel: pallas kernels cannot capture array
+            # constants
             col_ids = lax.broadcasted_iota(jnp.int32, (wp_out, lanes), 0)
             lane_ids = lax.broadcasted_iota(jnp.int32, (wp_out, lanes), 1)
             keep = ~((col_ids == wp_out - 1) & (lane_ids >= tail_cut))
             out = out * keep.astype(out.dtype)[None, None]
-        oref[0:bg, :, :, :] = jnp.zeros((bg,) + oref.shape[1:], oref.dtype)
-        oref[0:bg, 1:1 + h2, 1:1 + wp_out, :] = out.astype(oref.dtype)
+        return out
 
-    run_phase(meta_e, me_ref, oute_ref)
-    run_phase(meta_o, mo_ref, outo_ref)
+    oe = run_phase(meta_e, me_ref, oute_ref.shape[-1])
+    oo = run_phase(meta_o, mo_ref, outo_ref.shape[-1])
+    # all reads done; now overwrite the aliased interiors
+    oute_ref[0:bg, 1:1 + h2, 1:1 + wp_out, :] = oe.astype(oute_ref.dtype)
+    outo_ref[0:bg, 1:1 + h2, 1:1 + wp_out, :] = oo.astype(outo_ref.dtype)
 
 
 def _fused_stack_kernel(xe_ref, xo_ref, me_ref, mo_ref, b_ref,
@@ -327,6 +330,12 @@ def hex_conv_stack_pallas(x, kernels, biases=None, *, radius: int,
     single-op timings.  Semantically equal to chaining
     ``act(hex_conv2d(x, k, padding=radius-1))`` (tested).
 
+    Differentiable: the forward runs the in-place aliased kernels (margins
+    persist, no zero-fill); pallas cannot differentiate through aliasing,
+    so the custom VJP pulls back through the equivalent pure-XLA packed
+    chain (``_stack_xla``, one recomputed forward at grad time — standard
+    remat cost).
+
     Constraints: stride 1, groups 1, all layer widths C with 128 % C == 0
     and C <= 64, even image height, even_odd_offset 0.
     """
@@ -336,17 +345,63 @@ def hex_conv_stack_pallas(x, kernels, biases=None, *, radius: int,
     if even_odd_offset != 0:
         raise ValueError("packed stack assumes offset-0 input (the output "
                          "convention of every op in this framework)")
-    b, c, h, w = x.shape
-    if h % 2:
+    if x.shape[2] % 2:
         raise ValueError("even image height required for the packed stack")
-    d = dilation
     if activation not in ("relu", None, "none"):
         raise ValueError("supported fused activations: 'relu' or None")
-    relu = activation == "relu"
-
-    kernels = [jnp.asarray(k) for k in kernels]
+    kernels = tuple(jnp.asarray(k) for k in kernels)
     if biases is None:
-        biases = [None] * len(kernels)
+        biases = (None,) * len(kernels)
+    biases = tuple(None if bs is None else jnp.asarray(bs) for bs in biases)
+    statics = (radius, dilation, activation, final_activation, fused)
+    return _stack_ad(x, kernels, biases, statics)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _stack_ad(x, kernels, biases, statics):
+    return _stack_impl(x, kernels, biases, statics, inplace=True)
+
+
+def _stack_fwd(x, kernels, biases, statics):
+    return _stack_impl(x, kernels, biases, statics, inplace=True), \
+        (x, kernels, biases)
+
+
+def _stack_xla(x, kernels, biases, statics):
+    """Equivalent pure-XLA chain (packed Kronecker einsum per layer) — the
+    differentiable twin the custom VJP pulls back through."""
+    from ..nn import functional as F
+    radius, dilation, activation, final_activation, _ = statics
+    relu = activation == "relu"
+    h = x
+    L = len(kernels)
+    for i, (k, bs) in enumerate(zip(kernels, biases)):
+        h = F.hex_conv2d(h, k, bs, even_odd_offset=0, radius=radius,
+                         padding=radius - 1, dilation=dilation,
+                         impl="packed")
+        if relu and (final_activation or i < L - 1):
+            h = jnp.maximum(h, 0)
+    return h
+
+
+def _stack_bwd(statics, res, g):
+    x, kernels, biases = res
+    _, vjp = jax.vjp(
+        lambda xx, kk, bb: _stack_xla(xx, kk, bb, statics),
+        x, kernels, biases)
+    return vjp(g)
+
+
+_stack_ad.defvjp(_stack_fwd, _stack_bwd)
+
+
+def _stack_impl(x, kernels, biases, statics, inplace: bool = True):
+    radius, dilation, activation, final_activation, fused = statics
+    b, c, h, w = x.shape
+    d = dilation
+    relu = activation == "relu"
+    kernels = list(kernels)
+    biases = list(biases)
 
     # width bookkeeping: 'same' conv keeps W; pack W with one zero packed
     # column on each side (left for negative shifts, right for positive)
@@ -504,6 +559,7 @@ def hex_conv_stack_pallas(x, kernels, biases=None, *, radius: int,
                 jax.ShapeDtypeStruct((b, rows_tot, cols_tot, 128), dtype),
                 jax.ShapeDtypeStruct((b, rows_tot, cols_tot, 128), dtype),
             ],
+            input_output_aliases={0: 0, 1: 1},
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=int(28 * 2 ** 20)),
             interpret=jax.default_backend() != "tpu",

@@ -367,3 +367,33 @@ def test_periodic_col_banded_matches_xla():
     a = np.asarray(apply_plan_pallas(x, plan))
     b = np.asarray(sampling.apply_plan(x, plan))
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_stack_custom_vjp_matches_direct_grads():
+    """hex_conv_stack_pallas is differentiable via its custom VJP (pallas
+    cannot differentiate through input_output_aliases; the pullback rides
+    the equivalent XLA packed chain).  Grads w.r.t. input, kernels AND
+    biases must match the chained direct path."""
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 16)), jnp.float32)
+    ks = [jnp.asarray(rng.normal(0, 0.2, (16, 16, 7)), jnp.float32)
+          for _ in range(3)]
+    bs = [jnp.asarray(rng.normal(size=(16,)), jnp.float32), None,
+          jnp.asarray(rng.normal(size=(16,)), jnp.float32)]
+
+    def loss_stack(x, ks, bs):
+        return jnp.sum(hex_conv_stack_pallas(x, ks, bs, radius=2) ** 2)
+
+    def loss_ref(x, ks, bs):
+        h = x
+        for k, b_ in zip(ks, bs):
+            h = jax.nn.relu(F.hex_conv2d(h, k, b_, even_odd_offset=0,
+                                         radius=2, padding=1))
+        return jnp.sum(h ** 2)
+
+    g1 = jax.jit(jax.grad(loss_stack, argnums=(0, 1, 2)))(x, ks, bs)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(x, ks, bs)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=1e-3)
