@@ -63,11 +63,17 @@ def main():
     # every iteration's output fully reduced into a carried scalar that is
     # FETCHED inside the timed region, so nothing can be deferred.  The one
     # dispatch+fetch round trip amortises over n.
-    n_iters = 24
-    xs_time = jnp.asarray(rng.random((n_iters, batch, 3, size, size)),
-                          jnp.float32)
-    xs_warm = jnp.asarray(rng.random((n_iters, batch, 3, size, size)),
-                          jnp.float32)
+    n_iters = 48
+    # one host->device transfer of a single batch; the n DISTINCT iteration
+    # inputs are derived ON DEVICE by broadcast-adding per-iteration deltas
+    # (shipping n full copies through the dev tunnel would dominate wall
+    # time and HBM)
+    base = jnp.asarray(rng.random((batch, 3, size, size)), jnp.float32)
+    deltas = (jnp.arange(1, n_iters + 1, dtype=jnp.float32)
+              .reshape(n_iters, 1, 1, 1, 1) * 1e-6)
+    make_xs = jax.jit(lambda b, scale: b[None] + scale * deltas)
+    xs_time = make_xs(base, 1.0)
+    xs_warm = make_xs(base, 2.0)
 
     pipe = build_pipeline(size, channels, layers, radius, dtype)
 
@@ -76,6 +82,7 @@ def main():
 
     g = jax.jit(lambda xs: jax.lax.scan(step, 0.0, xs)[0])
     float(g(xs_warm))  # compile + warm up + fetch
+    del xs_warm        # free 4.8 GB of HBM before the timed run
 
     t0 = time.perf_counter()
     val = float(g(xs_time))

@@ -12,7 +12,8 @@ even/odd packed row planes into VMEM ONCE per batch element and runs all
 ~(2r-1)*2*2 matmuls from VMEM on the MXU — the pure-XLA packed path re-reads
 HBM for every term, which is exactly the traffic this kernel removes.
 
-Scope: stride 1, groups 1, 128 % C == 0, C <= 64, Cout <= 128.  The public
+Scope: stride 1, groups 1, 128 % C == 0, C <= 128 (C = 128 is
+the q=1 degenerate packing: pure dense per-tap matmuls), Cout <= 128.  The public
 ``hex_conv2d(..., impl="pallas")`` wrapper falls back to the equivalent
 XLA path outside this envelope.
 """
@@ -34,7 +35,7 @@ __all__ = ["packed_hex_conv_pallas", "pallas_conv_applicable",
 
 
 def pallas_conv_applicable(c: int, co: int, stride: int, groups: int) -> bool:
-    return (stride == 1 and groups == 1 and c <= 64 and 128 % c == 0
+    return (stride == 1 and groups == 1 and c <= 128 and 128 % c == 0
             and co * (128 // c) <= 512)
 
 
@@ -321,7 +322,8 @@ def hex_conv_stack_pallas(x, kernels, biases=None, *, radius: int,
                           even_odd_offset: int = 0, dilation: int = 1,
                           activation: str = "relu",
                           final_activation: bool = True,
-                          fused: bool = False):
+                          fused: bool = False,
+                          batch_group: int | None = None):
     """A chain of 'same' hex convolutions fully in the packed domain.
 
     Packs once, runs every layer as one fused Pallas kernel (all Kronecker
@@ -337,7 +339,7 @@ def hex_conv_stack_pallas(x, kernels, biases=None, *, radius: int,
     remat cost).
 
     Constraints: stride 1, groups 1, all layer widths C with 128 % C == 0
-    and C <= 64, even image height, even_odd_offset 0.
+    and C <= 128, even image height, even_odd_offset 0.
     """
     x = jnp.asarray(x)
     while x.ndim < 4:
@@ -353,7 +355,11 @@ def hex_conv_stack_pallas(x, kernels, biases=None, *, radius: int,
     if biases is None:
         biases = (None,) * len(kernels)
     biases = tuple(None if bs is None else jnp.asarray(bs) for bs in biases)
-    statics = (radius, dilation, activation, final_activation, fused)
+    if batch_group is not None and x.shape[0] % batch_group:
+        raise ValueError(f"batch {x.shape[0]} must divide batch_group "
+                         f"{batch_group}")
+    statics = (radius, dilation, activation, final_activation, fused,
+               batch_group)
     return _stack_ad(x, kernels, biases, statics)
 
 
@@ -371,7 +377,7 @@ def _stack_xla(x, kernels, biases, statics):
     """Equivalent pure-XLA chain (packed Kronecker einsum per layer) — the
     differentiable twin the custom VJP pulls back through."""
     from ..nn import functional as F
-    radius, dilation, activation, final_activation, _ = statics
+    radius, dilation, activation, final_activation = statics[:4]
     relu = activation == "relu"
     h = x
     L = len(kernels)
@@ -396,7 +402,8 @@ _stack_ad.defvjp(_stack_fwd, _stack_bwd)
 
 
 def _stack_impl(x, kernels, biases, statics, inplace: bool = True):
-    radius, dilation, activation, final_activation, fused = statics
+    radius, dilation, activation, final_activation, fused, batch_group = \
+        statics
     b, c, h, w = x.shape
     d = dilation
     relu = activation == "relu"
@@ -407,7 +414,7 @@ def _stack_impl(x, kernels, biases, statics, inplace: bool = True):
     # column on each side (left for negative shifts, right for positive)
     chans = [c] + [int(k.shape[0]) for k in kernels]
     for ci in chans:
-        if not (ci <= 64 and 128 % ci == 0):
+        if not (ci <= 128 and 128 % ci == 0):
             raise ValueError(f"channel width {ci} unsupported by packed stack")
     h2 = h // 2
 
@@ -525,11 +532,18 @@ def _stack_impl(x, kernels, biases, statics, inplace: bool = True):
 
         layer_relu = relu and (final_activation or li < len(kernels) - 1)
         blk_bytes = rows_tot * cols_tot * 128 * x.dtype.itemsize
-        bg = 1
-        for cand in (4, 2):
-            if b % cand == 0 and blk_bytes * cand <= 2 ** 22:
-                bg = cand
-                break
+        if batch_group is not None:
+            bg = batch_group
+        else:
+            # bg=2 measured best for the north-star shape (bg=4's f32
+            # accumulators push scoped VMEM past ~40 MB and compile OOMs
+            # near the limit; see PERF.md) — keep the conservative default,
+            # override via ``batch_group`` for experiments
+            bg = 1
+            for cand in (4, 2):
+                if b % cand == 0 and blk_bytes * cand <= 2 ** 22:
+                    bg = cand
+                    break
         kfn = functools.partial(
             _stack_layer_kernel, meta_e=meta_e, meta_o=meta_o, h2=h2,
             wp_out=wp_out, relu=layer_relu, has_bias=has_bias,
@@ -561,7 +575,12 @@ def _stack_impl(x, kernels, biases, statics, inplace: bool = True):
             ],
             input_output_aliases={0: 0, 1: 1},
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=int(28 * 2 ** 20)),
+                vmem_limit_bytes=int(min(110 * 2 ** 20, max(
+                    28 * 2 ** 20,
+                    # aliased block pair (double-buffered) + f32 phase accs
+                    # + generous slack for Mosaic temporaries
+                    4 * blk_bytes * bg + 8 * bg * h2 * wp_out * 128
+                    + 16 * 2 ** 20)))),
             interpret=jax.default_backend() != "tpu",
         )(xe, xo, me, mo, bvec)
         wp = wp_out

@@ -798,6 +798,12 @@ def _apply_plan_pallas_impl(image, plan: SamplePlan, tile_rows: int = 8,
     src = jnp.moveaxis(image.reshape(bc, h, w), 0, 1)      # (h, bc, w)
     out_dtype = (image.dtype if jnp.issubdtype(image.dtype, jnp.floating)
                  else jnp.float32)
+    if jnp.dtype(out_dtype).itemsize == 2 and geo.cw < 128:
+        # Mosaic cannot store a 16-bit (gb, 1, cw) slice when cw is
+        # narrower than a vreg ("unsupported shape cast" at compile time);
+        # accumulate such narrow-column-tile outputs (tiny plans only) in
+        # f32 and cast back outside the kernel
+        out_dtype = jnp.float32
     if w_pad > w:
         src = jnp.pad(src, ((0, 0), (0, 0), (0, w_pad - w)))
     if pad_bc:
@@ -882,6 +888,9 @@ def _apply_plan_pallas_impl(image, plan: SamplePlan, tile_rows: int = 8,
           jnp.asarray(tilelo), jnp.asarray(collo),
           jnp.asarray(cols_ph), jnp.asarray(wts_ph, dtype=wdtype), src)
         out = out[:bc, :h1, :w1]
+        if jnp.issubdtype(image.dtype, jnp.floating) and \
+                out.dtype != image.dtype:
+            out = out.astype(image.dtype)
         return out.reshape(lead + (h1, w1))
 
     if (np.abs(cols) < 2 ** 15).all():
@@ -927,4 +936,6 @@ def _apply_plan_pallas_impl(image, plan: SamplePlan, tile_rows: int = 8,
     )(jnp.asarray(rowbase), jnp.asarray(tilelo), jnp.asarray(collo),
       jnp.asarray(cols)[None], jnp.asarray(wts, dtype=wdtype)[None], src)
     out = out[:bc, :h1, :w1]
+    if jnp.issubdtype(image.dtype, jnp.floating) and out.dtype != image.dtype:
+        out = out.astype(image.dtype)
     return out.reshape(lead + (h1, w1))

@@ -438,7 +438,7 @@ def hex_conv2d(x, kernel, bias=None, *, even_odd_offset: int = 0,
         # packed Kronecker-matmul path wins for small channel counts on the
         # MXU (see _hex_conv2d_packed); direct masked convs otherwise
         c = x.shape[1]
-        if (s == 1 and groups == 1 and c <= 64 and 128 % c == 0
+        if (s == 1 and groups == 1 and c <= 128 and 128 % c == 0
                 and kernel.shape[0] <= 128):
             impl = "packed"
         else:

@@ -19,6 +19,7 @@ CONFIGS = [
     (16, 16, 2, 2, 2, 0, 20, 16),
     (64, 64, 1, 0, 1, 1, 12, 12),
     (8, 128, 2, 1, 1, 0, 12, 12),
+    (128, 128, 2, 1, 1, 0, 12, 10),   # q=1 degenerate packing (dense taps)
 ]
 
 
@@ -48,6 +49,7 @@ def test_impls_agree_with_direct(impl, cfg):
     (32, 3, 2, 12, 10, True),
     (16, 1, 2, 8, 8, True),
     (16, 2, 4, 20, 11, True),
+    (128, 2, 2, 12, 10, True),        # q=1 degenerate packing
 ])
 def test_pallas_stack_matches_chained(C, r, L, h, w, bias_on):
     rng = np.random.default_rng(C * 100 + L)
