@@ -535,10 +535,11 @@ def _stack_impl(x, kernels, biases, statics, inplace: bool = True):
         if batch_group is not None:
             bg = batch_group
         else:
-            # bg=2 measured best for the north-star shape (bg=4's f32
-            # accumulators push scoped VMEM past ~40 MB and compile OOMs
-            # near the limit; see PERF.md) — keep the conservative default,
-            # override via ``batch_group`` for experiments
+            # bg=2 measured best END-TO-END on v5e (PERF.md): bg=8 wins the
+            # isolated stack micro-bench 31% (M=32K-row matmuls) but its
+            # ~86 MB VMEM footprint starves overlap with neighbouring
+            # kernels and loses ~9% on the full pipeline — keep the small
+            # default, override via ``batch_group`` for stack-only runs
             bg = 1
             for cand in (4, 2):
                 if b % cand == 0 and blk_bytes * cand <= 2 ** 22:

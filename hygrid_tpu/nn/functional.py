@@ -435,12 +435,15 @@ def hex_conv2d(x, kernel, bias=None, *, even_odd_offset: int = 0,
     parity = (even_odd_offset + padding) % 2
     s, d = stride, dilation
     if impl == "auto":
-        # packed Kronecker-matmul path wins for small channel counts on the
-        # MXU (see _hex_conv2d_packed); direct masked convs otherwise
+        # single-op routing, measured on v5e (PERF.md impl sweep): the
+        # tap-concatenated matmul ("mxu") wins for C <= 64 (0.80 vs 1.13
+        # packed vs 2.45 direct ms at C=16 256^2); XLA's native conv
+        # ("direct") wins once the contraction is already wide (C > 64).
+        # Chains of 'same' convs should use hex_conv_stack_pallas, which
+        # packs once and beats any per-op path.
         c = x.shape[1]
-        if (s == 1 and groups == 1 and c <= 128 and 128 % c == 0
-                and kernel.shape[0] <= 128):
-            impl = "packed"
+        if groups == 1 and c <= 64:
+            impl = "mxu"
         else:
             impl = "direct"
     if impl == "type1":
