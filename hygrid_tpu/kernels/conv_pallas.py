@@ -356,8 +356,8 @@ def hex_conv_stack_pallas(x, kernels, biases=None, *, radius: int,
         biases = (None,) * len(kernels)
     biases = tuple(None if bs is None else jnp.asarray(bs) for bs in biases)
     if batch_group is not None and x.shape[0] % batch_group:
-        raise ValueError(f"batch {x.shape[0]} must divide batch_group "
-                         f"{batch_group}")
+        raise ValueError(f"batch_group {batch_group} must divide the "
+                         f"batch {x.shape[0]}")
     statics = (radius, dilation, activation, final_activation, fused,
                batch_group)
     return _stack_ad(x, kernels, biases, statics)
@@ -365,11 +365,11 @@ def hex_conv_stack_pallas(x, kernels, biases=None, *, radius: int,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _stack_ad(x, kernels, biases, statics):
-    return _stack_impl(x, kernels, biases, statics, inplace=True)
+    return _stack_impl(x, kernels, biases, statics)
 
 
 def _stack_fwd(x, kernels, biases, statics):
-    return _stack_impl(x, kernels, biases, statics, inplace=True), \
+    return _stack_impl(x, kernels, biases, statics), \
         (x, kernels, biases)
 
 
@@ -401,7 +401,7 @@ def _stack_bwd(statics, res, g):
 _stack_ad.defvjp(_stack_fwd, _stack_bwd)
 
 
-def _stack_impl(x, kernels, biases, statics, inplace: bool = True):
+def _stack_impl(x, kernels, biases, statics):
     radius, dilation, activation, final_activation, fused, batch_group = \
         statics
     b, c, h, w = x.shape

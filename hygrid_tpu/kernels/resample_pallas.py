@@ -95,6 +95,28 @@ def rowsep_decompose(plan: SamplePlan):
     return base.astype(np.int32), out_cols, out_wts
 
 
+_ROWSEP_CACHE: dict = {}
+
+
+def rowsep_decompose_cached(plan: SamplePlan):
+    """Memoized :func:`rowsep_decompose` — the decomposition is a full
+    O(K*h1*w1) float64 numpy pass and is needed by the applicability
+    check, the launcher guard AND the launch geometry of every traced
+    resample; computing it once per plan cuts trace time and peak host
+    memory ~3x on 4K plans.  Keyed by ``id(plan)`` with a weakref
+    finalizer (SamplePlan holds numpy arrays and is not hashable)."""
+    import weakref
+    key = id(plan)
+    if key in _ROWSEP_CACHE:
+        return _ROWSEP_CACHE[key]
+    dec = rowsep_decompose(plan)
+    _ROWSEP_CACHE[key] = dec
+    if len(_ROWSEP_CACHE) > 16:
+        _ROWSEP_CACHE.pop(next(iter(_ROWSEP_CACHE)))
+    weakref.finalize(plan, _ROWSEP_CACHE.pop, key, None)
+    return dec
+
+
 def _band_height(rowbase: np.ndarray, h: int, tile_rows: int):
     """Per-tile source band starts + the static band height covering every
     tile's row span (rows used by tile j are [min base, max base + 1])."""
@@ -123,7 +145,7 @@ def pallas_resample_applicable(plan: SamplePlan, n_lead: int,
     h, w = plan.src_shape
     if h < 2:
         return False
-    dec = rowsep_decompose(plan)
+    dec = rowsep_decompose_cached(plan)
     if dec is None:
         return False
     if h * w * elem_bytes <= vmem_budget:
@@ -381,7 +403,7 @@ def apply_plan_pallas(image, plan: SamplePlan, tile_rows: int = 8,
     (segment-sum over the plan's indices) — a Pallas call alone has no
     autodiff rule, which would break training through resamples on TPU.
     """
-    dec = rowsep_decompose(plan)
+    dec = rowsep_decompose_cached(plan)
     if dec is None:
         return apply_plan(image, plan)
     return _apply_plan_pallas_ad(image, plan, tile_rows, force_banded)
@@ -455,7 +477,7 @@ def _launch_geometry(plan: SamplePlan, bc: int, esz: int,
     """Pure-integer launch geometry (no array work): row/column banding,
     plane grouping, and all pad amounts for a given plan + lead count +
     element size."""
-    rowbase, cols, wts = rowsep_decompose(plan)
+    rowbase, cols, wts = rowsep_decompose_cached(plan)
     h, w = plan.src_shape
     _, k, h1, w1 = cols.shape
     budget = 8 * 2**20
@@ -595,6 +617,10 @@ def kernel_cost(plan: SamplePlan, lead: tuple, dtype,
                     hbm_bytes=src + consts + outb, src_bytes=src,
                     out_bytes=outb, plan_bytes=consts,
                     useful_flops=useful_flops, geometry=g, periodic=per)
+    if out_esz == 2 and g.cw < 128:
+        out_esz = 4        # the kernel launcher promotes narrow-column-tile
+                           # outputs to f32 (Mosaic 16-bit narrow-store
+                           # limitation); the periodic path above does not
     # per grid step: tr rows x live row-parts x one (gb,cb)@(cb,cw) dot
     mxu_flops = grid * g.tr * n_d * (2 * g.gb * g.cb * g.cw)
     cols_esz = 2 if (np.abs(g.cols) < 2 ** 15).all() else 4
@@ -720,7 +746,10 @@ def _apply_plan_periodic(image, plan: SamplePlan, geo: LaunchGeometry,
         x = jnp.pad(x, ((0, 0), (0, 0), (0, geo.w_pad - w)))
     xm = x.astype(mdtype)
 
-    key = id(plan)
+    # keyed by (plan identity, matmul dtype): geometry caches reuse one
+    # SamplePlan across callers of different dtypes, and a bf16-rounded
+    # matrix silently breaks the f32 bit-parity contract
+    key = (id(plan), np.dtype(mdtype).name)
     cached = _PERIODIC_CACHE.get(key)
     if cached is None:
         mats = _build_selection_matrices(geo, range(lo, lo + P),

@@ -75,6 +75,7 @@ def fit(model, train_data: Iterable[Tuple], *, rng=None,
     t0 = time.perf_counter()
     for epoch in range(num_epochs):
         it = batches() if epoch == 0 else iter(train_data)
+        steps_this_epoch = 0
         for images, labels in it:
             if shard is not None:
                 images, labels = shard(images, labels)
@@ -82,6 +83,7 @@ def fit(model, train_data: Iterable[Tuple], *, rng=None,
                 images, labels = jnp.asarray(images), jnp.asarray(labels)
             state, metrics = step_fn(state, images, labels)
             global_step += 1
+            steps_this_epoch += 1
             if global_step % log_every == 0:
                 loss = float(metrics["loss"])
                 acc = float(metrics["accuracy"])
@@ -90,11 +92,18 @@ def fit(model, train_data: Iterable[Tuple], *, rng=None,
                 logger.info("step %d epoch %d loss %.4f acc %.3f (%.1f s)",
                             global_step, epoch, loss, acc,
                             time.perf_counter() - t0)
-        if global_step % log_every != 0 and metrics is not None:
+        if steps_this_epoch and global_step % log_every != 0 \
+                and metrics is not None:
             # record the epoch's final step so short runs (fewer than
-            # log_every steps) still produce a history
+            # log_every steps) still produce a history; epochs that ran
+            # zero steps (exhausted generator) must not re-append stale
+            # metrics
             history["loss"].append(float(metrics["loss"]))
             history["accuracy"].append(float(metrics["accuracy"]))
+        if not steps_this_epoch and epoch > 0:
+            logger.warning(
+                "epoch %d yielded no batches — train_data must be "
+                "re-iterable for multi-epoch fit()", epoch)
         if eval_data is not None:
             agg = []
             for images, labels in eval_data:

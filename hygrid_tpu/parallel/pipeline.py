@@ -129,10 +129,20 @@ def pipeline_hex_conv_stack(x, kernels, mesh: Mesh, *, radius: int,
     L = kernels.shape[0]
     S = mesh.shape[axis_name]
     if L % S:
-        raise ValueError(f"layers {L} must divide stages {S}")
+        raise ValueError(
+            f"stage count {S} must divide the layer count {L}")
     per = L // S
     if microbatches is None:
-        microbatches = max(S, x.shape[0] if x.shape[0] % S == 0 else S)
+        # GPipe bubble is (S-1)/(M+S-1): aim for M ~ 4S (<~20% bubble)
+        # while keeping microbatches as large as possible (MXU batching);
+        # among divisors of B that are >= S, take the one nearest 4S
+        B = x.shape[0]
+        divs = [m for m in range(1, B + 1) if B % m == 0 and m >= S]
+        if not divs:
+            raise ValueError(
+                f"batch {B} has no divisor >= the {S} pipeline stages; "
+                "pass microbatches= explicitly or pad the batch")
+        microbatches = min(divs, key=lambda m: (abs(m - 4 * S), m))
     stage_k = kernels.reshape((S, per) + kernels.shape[1:])
 
     def stage_fn(ks, xm):

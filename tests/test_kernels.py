@@ -399,3 +399,41 @@ def test_stack_custom_vjp_matches_direct_grads():
                     jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=1e-3)
+
+
+def test_periodic_cache_keyed_by_dtype():
+    """A bf16 apply must not poison the periodic selection-matrix cache for
+    a later f32 apply of the SAME plan object (geometry._cached_plan reuses
+    one plan across dtypes): f32 keeps bit-parity with apply_plan."""
+    from hygrid_tpu.ops import sampling
+    from hygrid_tpu import lattice
+    from hygrid_tpu.ops.geometry import _linspace_grid
+    from hygrid_tpu.kernels.resample_pallas import apply_plan_pallas
+    gx, gy = _linspace_grid(lattice.corner_box("hex_to_rect", 40, 40), 56, 56)
+    plan = sampling.hex_sample_plan(gx, gy, 40, 40, "linear")
+    rng = np.random.default_rng(5)
+    x32 = jnp.asarray(rng.random((3, 40, 40)), jnp.float32)
+    # poison attempt: bf16 first
+    _ = apply_plan_pallas(x32.astype(jnp.bfloat16), plan)
+    got = apply_plan_pallas(x32, plan)
+    want = sampling.apply_plan(x32, plan)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-6, rtol=1e-6)
+
+
+def test_pipeline_default_microbatches():
+    """Default microbatch selection: any divisor of B >= S works (B=6,S=4
+    must not raise), and B=128,S=4 must not degrade to batch-1
+    microbatches."""
+    import hygrid_tpu.parallel as parallel
+    from hygrid_tpu.parallel import pipeline_hex_conv_stack
+    mesh = parallel.create_mesh({"pp": 4})
+    rng = np.random.default_rng(2)
+    ks = jnp.asarray(rng.normal(0, 0.2, (4, 16, 16, 7)), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(6, 16, 8, 8)), jnp.float32)
+    y = pipeline_hex_conv_stack(x, ks, mesh, radius=2)   # B=6: M=6 works
+    ref = x
+    for i in range(4):
+        ref = F.hex_conv2d(ref, ks[i], even_odd_offset=0, radius=2,
+                           padding=1)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=1e-5)
