@@ -31,6 +31,8 @@ from .ops import (
     type2_to_heximage,
 )
 from .ops.hexrot import hexrot60, hexflip
+from .ops.augment import (hexrot60_same, random_hexrot60, random_hexflip,
+                          random_hex_translate, augment_hex_batch)
 
 __version__ = "0.1.0"
 
@@ -58,4 +60,9 @@ __all__ = [
     "type2_to_heximage",
     "hexrot60",
     "hexflip",
+    "hexrot60_same",
+    "random_hexrot60",
+    "random_hexflip",
+    "random_hex_translate",
+    "augment_hex_batch",
 ]

@@ -15,6 +15,8 @@ from .convert import (
 )
 from .sampling import SamplePlan, hex_sample_plan, rect_sample_plan, apply_plan
 from .hexrot import hexrot60, hexflip
+from .augment import (hexrot60_same, random_hexrot60, random_hexflip,
+                      random_hex_translate, augment_hex_batch)
 
 __all__ = [
     "image_geometric_transformation",
@@ -34,4 +36,9 @@ __all__ = [
     "apply_plan",
     "hexrot60",
     "hexflip",
+    "hexrot60_same",
+    "random_hexrot60",
+    "random_hexflip",
+    "random_hex_translate",
+    "augment_hex_batch",
 ]
