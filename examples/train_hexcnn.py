@@ -3,6 +3,8 @@ a device mesh.
 
     python examples/train_hexcnn.py                # single device
     python examples/train_hexcnn.py --mesh         # data-parallel, all devices
+    python examples/train_hexcnn.py --augment      # + hex-native random
+        augmentation (exact dihedral-12 rotations/mirrors) per epoch
     python examples/train_hexcnn.py --convergence  # full convergence run:
         trains to ~100% eval accuracy on the 8-virtual-device mesh and writes
         the loss/accuracy curves to docs/assets/hexcnn_training.png
@@ -24,8 +26,28 @@ import jax
 logging.basicConfig(level=logging.INFO)
 
 
+def augmented(batches, seed: int = 0):
+    """Wrap pre-built (images, labels) batches with fresh hex-native random
+    augmentation every epoch (``fit`` re-iterates its train_data per epoch,
+    so each pass sees new rotations/mirrors — the hex lattice's exact
+    12-element dihedral group, ``ops/augment.py``)."""
+    from hygrid_tpu import augment_hex_batch
+
+    class _Reaugmenting:
+        epoch = 0
+
+        def __iter__(self):
+            key = jax.random.key(seed * 1000 + self.epoch)
+            type(self).epoch += 1
+            for i, (bx, by) in enumerate(batches):
+                kb = jax.random.fold_in(key, i)
+                yield augment_hex_batch(kb, bx), by
+
+    return _Reaugmenting()
+
+
 def main(use_mesh: bool = False, n_train: int = 512, n_eval: int = 128,
-         num_epochs: int = 5, batch_size: int = 64):
+         num_epochs: int = 5, batch_size: int = 64, augment: bool = False):
     from hygrid_tpu.models import fit, hexcnn_tiny, synthetic_hex_cifar
     from hygrid_tpu import parallel
 
@@ -34,6 +56,8 @@ def main(use_mesh: bool = False, n_train: int = 512, n_eval: int = 128,
     xe, ye = synthetic_hex_cifar(rng, n_eval)
     batches = [(np.asarray(x[i:i + batch_size]), np.asarray(y[i:i + batch_size]))
                for i in range(0, n_train, batch_size)]
+    if augment:
+        batches = augmented(batches)
     eval_batches = [(np.asarray(xe), np.asarray(ye))]
 
     mesh = None
@@ -121,4 +145,4 @@ if __name__ == "__main__":
         os.makedirs(assets, exist_ok=True)
         convergence(curve_path=os.path.join(assets, "hexcnn_training.png"))
     else:
-        main("--mesh" in sys.argv)
+        main("--mesh" in sys.argv, augment="--augment" in sys.argv)

@@ -95,3 +95,13 @@ def test_stream_giant_raster_example(capsys):
     mod.main(600, 400)
     outp = capsys.readouterr().out
     assert "hexified" in outp
+
+
+def test_train_hexcnn_example_augmented():
+    """Training with per-epoch hex-native augmentation still learns and the
+    re-iterating wrapper yields fresh batches each epoch."""
+    mod = _load("train_hexcnn")
+    hist = mod.main(use_mesh=False, n_train=64, n_eval=32,
+                    num_epochs=2, batch_size=32, augment=True)
+    assert np.isfinite(hist["loss"][-1])
+    assert 0.0 <= hist["eval_accuracy"][-1] <= 1.0
