@@ -2,6 +2,7 @@
 from .hexcnn import (HexCNN, HexConvNeXtBlock, HexResBlock, HexResNet,
                      hexcnn_small, hexcnn_tiny)
 from .hexunet import HexUNet, HexConvTranspose2d, HexPixelShuffleUpsample
+from .hexvit import HexViT, hexvit_tiny
 from .video import (make_frame_processor, make_batch_processor,
                     process_stream, StreamStats)
 from .fit import fit
@@ -17,6 +18,8 @@ from .train import (
 __all__ = [
     "HexCNN",
     "HexUNet",
+    "HexViT",
+    "hexvit_tiny",
     "HexConvTranspose2d",
     "HexPixelShuffleUpsample",
     "make_frame_processor",

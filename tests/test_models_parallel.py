@@ -408,3 +408,49 @@ class TestPipelineParallel:
             losses.append(float(l))
         assert losses[-1] < losses[0]
         assert np.isfinite(losses).all()
+
+
+class TestHexViT:
+    """HexViT (models/hexvit.py): hex-stem transformer — after the stride-2
+    hex-conv patchify everything is dense matmul (pure MXU work)."""
+
+    def test_forward_shapes_and_patch_guard(self):
+        from hygrid_tpu.models import HexViT, hexvit_tiny
+        x = jnp.asarray(np.random.default_rng(0).random((2, 3, 16, 16)),
+                        jnp.float32)
+        m = HexViT(num_classes=7, dim=64, depth=2, heads=2, patch_halvings=2)
+        p = m.init(jax.random.key(0), x)
+        assert m.apply(p, x).shape == (2, 7)
+        t = hexvit_tiny()
+        pt = t.init(jax.random.key(1), x)
+        assert t.apply(pt, x).shape == (2, 10)
+        with pytest.raises(ValueError):
+            m.init(jax.random.key(2), jnp.ones((1, 3, 18, 16)))  # 18 % 4
+
+    def test_trains(self):
+        from hygrid_tpu.models import (hexvit_tiny, create_train_state,
+                                       train_step, synthetic_hex_cifar)
+        rng = np.random.default_rng(1)
+        x, y = synthetic_hex_cifar(rng, 16)
+        state = create_train_state(hexvit_tiny(), jax.random.key(0), x[:2],
+                                   learning_rate=1e-3)
+        step = jax.jit(train_step)
+        l0 = None
+        for _ in range(5):
+            state, metrics = step(state, x, y)
+            if l0 is None:
+                l0 = float(metrics["loss"])
+        assert float(metrics["loss"]) < l0
+
+    def test_data_parallel_step(self):
+        from hygrid_tpu.models import (hexvit_tiny, create_train_state,
+                                       train_step, synthetic_hex_cifar)
+        rng = np.random.default_rng(2)
+        x, y = synthetic_hex_cifar(rng, 8)
+        state = create_train_state(hexvit_tiny(), jax.random.key(0), x[:2])
+        mesh = parallel.create_mesh({"dp": 8})
+        xs = parallel.shard_batch(jnp.asarray(x), mesh)
+        ys = jax.device_put(
+            jnp.asarray(y), jax.sharding.NamedSharding(mesh, parallel.P("dp")))
+        new_state, metrics = jax.jit(train_step)(state, xs, ys)
+        assert np.isfinite(float(metrics["loss"]))
