@@ -145,13 +145,6 @@ def pallas_resample_applicable(plan: SamplePlan, n_lead: int,
     h, w = plan.src_shape
     if h < 2:
         return False
-    if plan.out_shape[1] < 128:
-        # sub-vreg output widths hit Mosaic narrow-store limitations (a
-        # compile-time refusal for 16-bit outputs, and narrow 16-bit
-        # scratch stores correlate with TPU worker crashes on the current
-        # toolchain); such plans are tiny work — the XLA gather handles
-        # them at negligible cost
-        return False
     dec = rowsep_decompose_cached(plan)
     if dec is None:
         return False
@@ -411,9 +404,7 @@ def apply_plan_pallas(image, plan: SamplePlan, tile_rows: int = 8,
     autodiff rule, which would break training through resamples on TPU.
     """
     dec = rowsep_decompose_cached(plan)
-    if dec is None or plan.out_shape[1] < 128:
-        # narrow outputs: see pallas_resample_applicable — route direct
-        # callers to the XLA gather too
+    if dec is None:
         return apply_plan(image, plan)
     return _apply_plan_pallas_ad(image, plan, tile_rows, force_banded)
 

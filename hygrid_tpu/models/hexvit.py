@@ -32,17 +32,19 @@ class _Block(nn.Module):
     heads: int
     mlp_ratio: int = 4
     dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        y = nn.LayerNorm(dtype=self.dtype)(x)
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        y = nn.LayerNorm(**kw)(x)
         y = nn.MultiHeadDotProductAttention(
-            num_heads=self.heads, dtype=self.dtype, name="attn")(y, y)
+            num_heads=self.heads, name="attn", **kw)(y, y)
         x = x + y
-        y = nn.LayerNorm(dtype=self.dtype)(x)
-        y = nn.Dense(self.mlp_ratio * self.dim, dtype=self.dtype)(y)
+        y = nn.LayerNorm(**kw)(x)
+        y = nn.Dense(self.mlp_ratio * self.dim, **kw)(y)
         y = nn.gelu(y)
-        y = nn.Dense(self.dim, dtype=self.dtype)(y)
+        y = nn.Dense(self.dim, **kw)(y)
         return x + y
 
 
@@ -66,7 +68,9 @@ class HexViT(nn.Module):
     heads: int = 4
     patch_halvings: int = 2
     radius: int = 2
-    dtype: jnp.dtype = jnp.float32
+    dtype: jnp.dtype = jnp.float32        # compute dtype
+    param_dtype: jnp.dtype = jnp.float32  # parameter storage (keep f32 for
+                                          # optimiser update precision)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -85,22 +89,24 @@ class HexViT(nn.Module):
             x = HexConv2d(in_channels=cin, out_channels=width,
                           even_odd_offset=0, hexkernel_radius=self.radius,
                           stride=2, padding=self.radius - 1,
-                          param_dtype=self.dtype, name=f"stem{i}")(x)
+                          param_dtype=self.param_dtype, name=f"stem{i}")(x)
             if i < len(widths) - 1:
                 x = nn.gelu(x)
             cin = width
         b, d, th, tw = x.shape
         tokens = x.reshape(b, d, th * tw).transpose(0, 2, 1)   # (B, T, dim)
         pos = self.param("pos_embedding", nn.initializers.normal(0.02),
-                         (1, th * tw, self.dim), self.dtype)
-        tokens = tokens + pos
+                         (1, th * tw, self.dim), self.param_dtype)
+        tokens = tokens.astype(self.dtype) + pos.astype(self.dtype)
         for i in range(self.depth):
             tokens = _Block(dim=self.dim, heads=self.heads,
-                            dtype=self.dtype, name=f"block{i}")(tokens)
-        tokens = nn.LayerNorm(dtype=self.dtype)(tokens)
+                            dtype=self.dtype, param_dtype=self.param_dtype,
+                            name=f"block{i}")(tokens)
+        tokens = nn.LayerNorm(dtype=self.dtype,
+                              param_dtype=self.param_dtype)(tokens)
         pooled = tokens.mean(axis=1)
         return nn.Dense(self.num_classes, dtype=self.dtype,
-                        name="head")(pooled)
+                        param_dtype=self.param_dtype, name="head")(pooled)
 
 
 def hexvit_tiny(num_classes: int = 10, **kw) -> HexViT:

@@ -24,7 +24,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from . import sampling
 from .hexrot import _axial_of, _offset_of, _rot_axial
 
 __all__ = ["hexrot60_same", "random_hexrot60", "random_hexflip",
@@ -65,6 +64,14 @@ def hexrot60_same(image, k, pivot: Optional[Tuple[int, int]] = None):
     a TRACED integer (augmentation draws it from a PRNG key).
 
     Integer dtypes are preserved exactly (pure permutation + zero fill).
+
+    Why this bypasses the SamplePlan engine (CLAUDE.md convention): a plan
+    is chosen at trace time, but augmentation's ``k`` is a traced random
+    draw — the op must select among the six precomputed index maps inside
+    the program.  Rotation plans are not row-separable (a rotated row spans
+    many source rows), so even the static-k path (:func:`hexrot60`)
+    executes as an XLA gather; this traced-k form does the same work with
+    the map selection fused in.  For static ``k`` prefer :func:`hexrot60`.
     """
     image = jnp.asarray(image)
     h, w = image.shape[-2:]
