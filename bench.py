@@ -69,11 +69,19 @@ def main():
     # (shipping n full copies through the dev tunnel would dominate wall
     # time and HBM)
     base = jnp.asarray(rng.random((batch, 3, size, size)), jnp.float32)
+    # RELATIVE per-iteration deltas, sized to survive the pipeline's bf16
+    # cast (eps(1.0) = 2^-8 ~ 4e-3 < 1e-2): the r2 additive k*1e-6 deltas
+    # underflowed to bit-identical bf16 inputs, silently disarming the
+    # distinct-inputs defense against launch elision (VERDICT r2 weak #2)
     deltas = (jnp.arange(1, n_iters + 1, dtype=jnp.float32)
-              .reshape(n_iters, 1, 1, 1, 1) * 1e-6)
-    make_xs = jax.jit(lambda b, scale: b[None] + scale * deltas)
+              .reshape(n_iters, 1, 1, 1, 1) * 1e-2)
+    make_xs = jax.jit(lambda b, scale: b[None] * (1.0 + scale * deltas))
     xs_time = make_xs(base, 1.0)
     xs_warm = make_xs(base, 2.0)
+    # harness invariant: iteration inputs stay distinct in the COMPUTE dtype
+    pair = jnp.asarray(xs_time[:2]).astype(dtype)
+    assert bool(jnp.any(pair[0] != pair[1])), \
+        "iteration inputs collapsed to identical values in the compute dtype"
 
     pipe = build_pipeline(size, channels, layers, radius, dtype)
 

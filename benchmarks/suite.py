@@ -26,10 +26,20 @@ def _timeit(f, *a, n=16):
     ~30ms through the tunnel) amortises over n."""
     base = a[0]
     rest = a[1:]
+    # RELATIVE deltas sized to survive a bf16 cast anywhere inside f
+    # (eps(1.0) = 2^-8 ~ 4e-3 < 1e-2); the additive k*1e-6 offsets used in
+    # round 2 underflowed in bf16 configs, making all n iteration inputs
+    # bit-identical in the compute dtype (VERDICT r2 weak #2)
     deltas = jnp.arange(1, n + 1, dtype=jnp.float32).reshape(
-        (n,) + (1,) * base.ndim) * 1e-6
-    xs_time = (base[None] + deltas.astype(base.dtype))
-    xs_warm = (base[None] + (2.0 * deltas).astype(base.dtype))
+        (n,) + (1,) * base.ndim) * 1e-2
+    xs_time = (base.astype(jnp.float32)[None] * (1.0 + deltas)).astype(
+        base.dtype)
+    xs_warm = (base.astype(jnp.float32)[None] * (1.0 + 2.0 * deltas)).astype(
+        base.dtype)
+    # invariant: distinct in bf16, the narrowest compute dtype in the suite
+    pair = xs_time[:2].astype(jnp.bfloat16)
+    assert bool(jnp.any(pair[0] != pair[1])), \
+        "iteration inputs collapsed to identical values in the compute dtype"
 
     def step(c, x):
         out = f(x, *rest)

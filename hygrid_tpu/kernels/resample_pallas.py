@@ -96,6 +96,12 @@ def rowsep_decompose(plan: SamplePlan):
 
 
 _ROWSEP_CACHE: dict = {}
+_ROWSEP_CACHE_MAX_BYTES = 1 << 30  # 1 GB of pinned host RAM, at most
+
+
+def _rowsep_cache_bytes() -> int:
+    return sum((0 if d is None else sum(a.nbytes for a in d))
+               for d in _ROWSEP_CACHE.values())
 
 
 def rowsep_decompose_cached(plan: SamplePlan):
@@ -104,16 +110,27 @@ def rowsep_decompose_cached(plan: SamplePlan):
     check, the launcher guard AND the launch geometry of every traced
     resample; computing it once per plan cuts trace time and peak host
     memory ~3x on 4K plans.  Keyed by ``id(plan)`` with a weakref
-    finalizer (SamplePlan holds numpy arrays and is not hashable)."""
+    finalizer (SamplePlan holds numpy arrays and is not hashable).
+
+    Capped by TOTAL bytes, not entry count: geometry-level plan caches keep
+    plans (and hence these entries) alive indefinitely, and one 4K
+    decomposition is ~0.5 GB — oldest entries are evicted once the cache
+    exceeds ``_ROWSEP_CACHE_MAX_BYTES`` (the just-inserted entry survives;
+    its caller holds the reference either way)."""
     import weakref
     key = id(plan)
     if key in _ROWSEP_CACHE:
         return _ROWSEP_CACHE[key]
     dec = rowsep_decompose(plan)
     _ROWSEP_CACHE[key] = dec
-    if len(_ROWSEP_CACHE) > 16:
-        _ROWSEP_CACHE.pop(next(iter(_ROWSEP_CACHE)))
     weakref.finalize(plan, _ROWSEP_CACHE.pop, key, None)
+    while len(_ROWSEP_CACHE) > 1 and (
+            len(_ROWSEP_CACHE) > 16
+            or _rowsep_cache_bytes() > _ROWSEP_CACHE_MAX_BYTES):
+        oldest = next(iter(_ROWSEP_CACHE))
+        if oldest == key:
+            break
+        _ROWSEP_CACHE.pop(oldest)
     return dec
 
 
@@ -551,18 +568,31 @@ def _launch_geometry(plan: SamplePlan, bc: int, esz: int,
     # bottleneck of banded resamples) and shrinking the shipped plan
     # constants from (h1p, ...) to (n_phases, ...).
     h1p = rowbase.shape[0]
-    pat = np.concatenate([
-        cols[d_slots, ...].transpose(2, 0, 1, 3).reshape(h1p, -1),
-        wts[d_slots, ...].transpose(2, 0, 1, 3).reshape(h1p, -1)], axis=1)
-    uniq, phase_idx = np.unique(pat, axis=0, return_inverse=True)
-    n_phases = uniq.shape[0]
+    # Per-row blake2b digests instead of np.unique(axis=0) over the full
+    # (h1p, ~4*k*w1p) pattern matrix (ADVICE r2: that built a ~0.5 GB
+    # temporary + row lexsort per traced 4K plan); the digest dict is
+    # O(h1p * 16) bytes.  phase_idx must stay COMPLETE even past the
+    # 64-phase cap — periodic_decompose() consumes it — so only the
+    # selection-matrix extraction below is gated on phase_mode.
+    import hashlib
+    csel = cols[d_slots, ...]
+    wsel = wts[d_slots, ...]
+    row_key: dict = {}
+    phase_idx = np.empty(h1p, np.int64)
+    first_rows: list = []
+    for r in range(h1p):
+        dg = hashlib.blake2b(csel[:, :, r, :].tobytes(), digest_size=16)
+        dg.update(wsel[:, :, r, :].tobytes())
+        p = row_key.setdefault(dg.digest(), len(row_key))
+        if p == len(first_rows):
+            first_rows.append(r)
+        phase_idx[r] = p
+    n_phases = len(first_rows)
     msize = 2 if esz == 2 else 4
     scratch_bytes = n_phases * len(d_slots) * cb * cw * msize
     phase_mode = n_phases <= 64 and scratch_bytes <= 8 * 2**20
     if phase_mode:
-        first = np.full(n_phases, -1, np.int64)
-        for r in range(h1p - 1, -1, -1):
-            first[phase_idx[r]] = r
+        first = np.asarray(first_rows, np.int64)
         cols_ph = cols[:, :, first, :].transpose(2, 0, 1, 3).copy()
         wts_ph = wts[:, :, first, :].transpose(2, 0, 1, 3).copy()
     else:

@@ -38,6 +38,16 @@ from ..nn import functional as F
 __all__ = ["stack_stage_params", "pipeline_apply", "pipeline_hex_conv_stack"]
 
 
+def _to_varying(x, axis_name):
+    """Mark ``x`` as device-varying over ``axis_name`` under shard_map's
+    check_vma.  ``jax.lax.pvary`` is deprecated in favour of
+    ``jax.lax.pcast(..., to='varying')``; support both jax generations."""
+    pcast = getattr(jax.lax, "pcast", None)
+    if pcast is not None:
+        return pcast(x, axis_name, to="varying")
+    return jax.lax.pvary(x, (axis_name,))  # pragma: no cover - older jax
+
+
 def stack_stage_params(stage_params_list):
     """Stack a list of per-stage param pytrees into one pytree whose leaves
     have a leading ``num_stages`` axis (the axis :func:`pipeline_apply`
@@ -88,7 +98,7 @@ def pipeline_apply(stage_fn: Callable[[Any, jax.Array], jax.Array],
             nxt = jax.lax.ppermute(y, axis_name, ring)
             return nxt, y
 
-        carry0 = jax.lax.pvary(jnp.zeros_like(xm[0]), (axis_name,))
+        carry0 = _to_varying(jnp.zeros_like(xm[0]), axis_name)
         _, ys = jax.lax.scan(tick, carry0, jnp.arange(T))
         # The last stage emits microbatch m at tick m + S - 1; earlier ticks
         # (its fill phase) and other stages' outputs are never consumed.
