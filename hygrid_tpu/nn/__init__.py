@@ -17,6 +17,7 @@ from .functional import (
 from .layers import (
     HexConv2d,
     HexConv2dAdaptivePadding,
+    HexConvStack,
     HexPool2d,
     HexAdaptivePool2d,
     HexGlobalPool2d,
@@ -38,6 +39,7 @@ __all__ = [
     "average_pooling",
     "HexConv2d",
     "HexConv2dAdaptivePadding",
+    "HexConvStack",
     "HexPool2d",
     "HexAdaptivePool2d",
     "HexGlobalPool2d",

@@ -454,3 +454,115 @@ class TestHexViT:
             jnp.asarray(y), jax.sharding.NamedSharding(mesh, parallel.P("dp")))
         new_state, metrics = jax.jit(train_step)(state, xs, ys)
         assert np.isfinite(float(metrics["loss"]))
+
+
+class TestHexConvStackWiring:
+    """HexCNN's stack wiring (VERDICT r2 item 1): the HexConvStack stages
+    must equal the chained per-module path given the same parameters."""
+
+    def test_stack_module_equals_conv_modules(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from hygrid_tpu.models import HexCNN
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.random((2, 3, 16, 16)), jnp.float32)
+        kw = dict(channels=(16, 32), depth=2, norm="GN")
+        m_mod = HexCNN(use_stack=False, **kw)
+        m_stk = HexCNN(use_stack=True, **kw)
+        p_mod = m_mod.init(jax.random.key(0), x)["params"]
+        # translate the per-module tree into the stack tree
+        p_stk = {"head": p_mod["head"]}
+        for s in range(2):
+            st = {}
+            for d in range(2):
+                mod = p_mod[f"stage{s}_conv{d}"]
+                st[f"kernel_{d}"] = mod["conv"]["kernel"]
+                st[f"gn_scale_{d}"] = mod["norm"]["GroupNorm_0"]["scale"]
+                st[f"gn_bias_{d}"] = mod["norm"]["GroupNorm_0"]["bias"]
+            p_stk[f"stage{s}"] = st
+        out_mod = m_mod.apply({"params": p_mod}, x)
+        out_stk = m_stk.apply({"params": p_stk}, x)
+        np.testing.assert_allclose(np.asarray(out_stk), np.asarray(out_mod),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_stack_module_fallback_path_odd_height(self):
+        """Off the kernel envelope (odd image height) the module runs the
+        per-op chain — same params, same answer as an even-height crop
+        computed by hand is NOT required; just correctness vs the manual
+        chain with identical params."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from hygrid_tpu.nn.layers import HexConvStack
+        from hygrid_tpu.nn import functional as F
+        from hygrid_tpu.kernels.conv_pallas import _group_norm_nchw
+
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.random((1, 8, 9, 8)), jnp.float32)  # odd height
+        m = HexConvStack(in_channels=8, width=16, depth=2, norm="GN")
+        p = m.init(jax.random.key(0), x)["params"]
+        got = m.apply({"params": p}, x)
+
+        h = jnp.pad(x, ((0, 0), (0, 8), (0, 0), (0, 0)))
+        k0 = jnp.pad(p["kernel_0"], ((0, 0), (0, 8), (0, 0)))
+        for d, k in enumerate([k0, p["kernel_1"]]):
+            h = F.hex_conv2d(h, jnp.asarray(k), None, even_odd_offset=0,
+                             radius=2, padding=1, impl="direct")
+            h = _group_norm_nchw(h, 8, p[f"gn_scale_{d}"], p[f"gn_bias_{d}"])
+            h = jnp.maximum(h, 0)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(h),
+                                   rtol=2e-4, atol=2e-4)
+
+
+class TestShardedResampleFastPath:
+    def test_canonical_lift_taken_and_exact(self, monkeypatch):
+        """Aligned plans must ride the static-plan fast path (one canonical
+        per-shard SamplePlan through apply_plan_auto -> Pallas on TPU),
+        with bit-identical results vs the monolithic op (VERDICT r2 weak
+        #3)."""
+        import hygrid_tpu as hg
+        from hygrid_tpu.parallel import spatial
+        from hygrid_tpu.ops import sampling
+
+        calls = []
+        orig = sampling.apply_plan_auto
+
+        def spy(img, plan):
+            calls.append(plan)
+            return orig(img, plan)
+
+        monkeypatch.setattr(sampling, "apply_plan_auto", spy)
+        mesh = parallel.create_mesh({"sp": 4})
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.random((2, 3, 64, 48)), jnp.float32)
+        got = np.asarray(spatial.sharded_resample(
+            x, mesh, "rect_to_hex", (32, 24), "bilinear"))
+        want = np.asarray(hg.rect_to_hex_resample(x, (32, 24), "bilinear"))
+        assert calls, "fast path (static per-shard plan) was not taken"
+        np.testing.assert_array_equal(got, want)
+
+    def test_misaligned_parity_falls_back(self, monkeypatch):
+        """Odd per-shard output slabs (hex row parity alternating between
+        shards) must reject the canonical lift and still be correct."""
+        import hygrid_tpu as hg
+        from hygrid_tpu.parallel import spatial
+        from hygrid_tpu.ops import sampling
+
+        calls = []
+        orig = sampling.apply_plan_auto
+
+        def spy(img, plan):
+            calls.append(plan)
+            return orig(img, plan)
+
+        monkeypatch.setattr(sampling, "apply_plan_auto", spy)
+        mesh = parallel.create_mesh({"sp": 2})
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.random((1, 3, 36, 24)), jnp.float32)
+        # h1 = 18 over sp=2 -> h1s = 9 odd: hex output parity alternates
+        got = np.asarray(spatial.sharded_resample(
+            x, mesh, "rect_to_hex", (18, 12), "bilinear"))
+        want = np.asarray(hg.rect_to_hex_resample(x, (18, 12), "bilinear"))
+        np.testing.assert_allclose(got, want, atol=1e-6)
