@@ -1,15 +1,19 @@
-"""Scripted interactive-viewer session: the reference's live GLFW loop
-(``HexPixelArt/window.py:46-123``) driven as a pure event script.
+"""Interactive viewer: the reference's live GLFW loop
+(``HexPixelArt/window.py:46-123``) as (a) a scripted event session and
+(b) a LIVE browser-served view.
 
-    python examples/interactive_viewer.py [output_dir]
+    python examples/interactive_viewer.py [output_dir]     # scripted -> GIF
+    python examples/interactive_viewer.py --serve [port]   # live viewer
 
-Loads an image, hexifies it, opens the offscreen ``Window``, and replays a
-pan / zoom / hierarchy session through the same key bindings the reference
-reads from GLFW (WASD pan, scroll zoom, numpad hierarchy, mouse drag).
-Each event re-renders the true hexagon mosaic; the frame sequence is
-written as an animated GIF plus a contact sheet, demonstrating the full
-interactive capability headlessly (on a desktop, blitting ``frame`` into
-any window system gives the live viewer).
+``--serve`` starts ``Window.serve``: an MJPEG stream at
+http://127.0.0.1:<port>/ where WASD/arrows pan, the mouse wheel zooms,
+mouse-drag pans and +/- steps the mosaic hierarchy — the same bindings and
+deltas as the reference's GLFW callbacks, re-rendered live by the
+jit-compiled mosaic kernel.
+
+The scripted mode replays a pan / zoom / hierarchy session through the
+same key bindings and writes an animated GIF plus a contact sheet,
+demonstrating the interactive capability headlessly.
 """
 import os
 import sys
@@ -82,5 +86,18 @@ def main(out_dir="demo_out", size=420):
     return frames
 
 
+def serve(port="8142", size=560):
+    import hygrid_tpu as hg
+    from hygrid_tpu.viz import Window, Texture
+
+    img = load_demo_image()
+    hexed = np.asarray(hg.rect_to_hex_resample(img, (128, 128), "bilinear"))
+    win = Window(int(size), int(size), "hygrid live viewer")
+    win.serve(Texture(imgarr=hexed), port=int(port), block=True)
+
+
 if __name__ == "__main__":
-    main(*sys.argv[1:])
+    if len(sys.argv) > 1 and sys.argv[1] == "--serve":
+        serve(*sys.argv[2:])
+    else:
+        main(*sys.argv[1:])

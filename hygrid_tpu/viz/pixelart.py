@@ -138,3 +138,134 @@ class Window:
             if out is not None:
                 self.frames.append(np.asarray(out))
         return self.frames
+
+    # -- live interactive viewing (the C18 slot) --------------------------
+
+    def serve(self, tex: Texture, host: str = "127.0.0.1", port: int = 8142,
+              block: bool = True, quality: int = 85):
+        """Serve a LIVE interactive view over HTTP — the TPU-native stand-in
+        for the reference's GLFW render loop (``window.py:46-77``) on
+        GL-less hosts: open ``http://host:port/`` in any browser, pan with
+        WASD/arrows/mouse-drag, zoom with the wheel, step the mosaic
+        hierarchy with +/- — the same bindings and deltas as the reference
+        (``window.py:78-135``), wired through :meth:`key_event` /
+        :meth:`drag` into the jit-compiled mosaic renderer.
+
+        Endpoints: ``/`` viewer page; ``/stream`` multipart MJPEG
+        (re-rendered on every state change); ``/frame`` one JPEG;
+        ``/event?key=w`` / ``/event?drag=x0,y0,x1,y1`` input events.
+
+        ``block=False`` starts the server on a daemon thread and returns it
+        (tests drive it headlessly); the server object exposes
+        ``server_port`` and ``shutdown()``.
+        """
+        import io
+        import threading
+        import time
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+        from urllib.parse import urlparse, parse_qs
+
+        try:
+            from PIL import Image as PILImage
+        except ImportError as e:  # pragma: no cover
+            raise ImportError("Window.serve needs PIL for JPEG frames") from e
+
+        window = self
+        state_gen = [0]          # bumped on every input event
+        lock = threading.Lock()
+
+        def encode_frame() -> bytes:
+            frame = window.render_texture(tex)
+            buf = io.BytesIO()
+            PILImage.fromarray(np.moveaxis(frame, 0, -1)).save(
+                buf, "JPEG", quality=quality)
+            return buf.getvalue()
+
+        page = f"""<!doctype html><title>{self.title or 'hygrid viewer'}</title>
+<style>body{{margin:0;background:#111;display:grid;place-items:center;height:100vh}}
+img{{image-rendering:pixelated;outline:none}}</style>
+<img id=v src=/stream width={self.width} height={self.height} tabindex=0>
+<script>
+const v=document.getElementById('v');v.focus();
+const send=q=>fetch('/event?'+q);
+const keymap={{'w':'w','a':'a','s':'s','d':'d','ArrowUp':'up','ArrowDown':'down',
+ 'ArrowLeft':'left','ArrowRight':'right','+':'+','-':'-',
+ 'PageUp':'pgup','PageDown':'pgdn'}};
+addEventListener('keydown',e=>{{if(keymap[e.key])send('key='+encodeURIComponent(keymap[e.key]));}});
+v.addEventListener('wheel',e=>{{e.preventDefault();send('key='+(e.deltaY<0?'scroll_up':'scroll_down'));}});
+let drag=null;
+v.addEventListener('mousedown',e=>drag=[e.offsetX,e.offsetY]);
+addEventListener('mouseup',()=>drag=null);
+v.addEventListener('mousemove',e=>{{if(drag){{send('drag='+[...drag,e.offsetX,e.offsetY]);drag=[e.offsetX,e.offsetY];}}}});
+</script>"""
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _ok(self, ctype, body=b""):
+                self.send_response(200)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                if body:
+                    self.wfile.write(body)
+
+            def do_GET(self):
+                url = urlparse(self.path)
+                if url.path == "/":
+                    self._ok("text/html; charset=utf-8", page.encode())
+                elif url.path == "/frame":
+                    with lock:
+                        self._ok("image/jpeg", encode_frame())
+                elif url.path == "/event":
+                    q = parse_qs(url.query)
+                    try:
+                        if "key" in q:
+                            window.key_event(q["key"][0])
+                        if "drag" in q:
+                            x0, y0, x1, y1 = map(float,
+                                                 q["drag"][0].split(","))
+                            window.drag((x0, y0), (x1, y1))
+                    except ValueError:
+                        pass                      # unbound key: ignore
+                    state_gen[0] += 1
+                    self._ok("text/plain", b"ok")
+                elif url.path == "/stream":
+                    self.send_response(200)
+                    self.send_header(
+                        "Content-Type",
+                        "multipart/x-mixed-replace; boundary=hgframe")
+                    self.end_headers()
+                    last = -1
+                    try:
+                        while True:
+                            if state_gen[0] == last:
+                                time.sleep(0.02)   # idle: wait for input
+                                continue
+                            last = state_gen[0]
+                            with lock:
+                                jpg = encode_frame()
+                            self.wfile.write(
+                                b"--hgframe\r\nContent-Type: image/jpeg\r\n"
+                                + f"Content-Length: {len(jpg)}\r\n\r\n"
+                                .encode() + jpg + b"\r\n")
+                    except (BrokenPipeError, ConnectionError):
+                        return                     # client closed the tab
+                else:
+                    self.send_response(404)
+                    self.end_headers()
+
+        srv = ThreadingHTTPServer((host, port), Handler)
+        srv.daemon_threads = True
+        if block:  # pragma: no cover - interactive use
+            print(f"hygrid viewer: http://{host}:{srv.server_port}/ "
+                  "(Ctrl-C to stop)")
+            try:
+                srv.serve_forever()
+            finally:
+                srv.server_close()
+            return None
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        return srv
