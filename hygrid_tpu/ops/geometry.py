@@ -121,16 +121,16 @@ def image_geometric_transformation(img, H=None, interpolation: str = "nearest",
       * ``interpolation='nearest'`` works (the reference's branch raises on a
         tuple-unpack of ``np.min``, ``geometry_np.py:172``); implemented as
         argmin of vertex distances.
-      * ``interpolation='bilinear'`` raises ``NotImplementedError`` loudly
-        instead of silently falling through with uninitialised memory.
+      * ``interpolation='bilinear'`` (method 2) is IMPLEMENTED — the
+        reference declares it (``geometry_np.py:15``) but only the CUDA
+        kernel sketches it, with a blend-term-reuse bug
+        (``geometry.py:77-84``); here it is the completed intent: a
+        two-stage lerp over the affine parallelogram of all 4 de-skewed
+        neighbours (see ``sampling.hex_sample_plan``).
       * ``offset`` is accepted for API parity; like the reference, the
         sampling math assumes an offset-0 source (the reference's shifted
         ``imgcoor`` is dead code, ``geometry_np.py:29-46``).
     """
-    if interpolation == "bilinear":
-        raise NotImplementedError(
-            "'bilinear' is declared but unimplemented in the reference "
-            "(geometry_np.py:15, method 2 has no branch); use 'linear'.")
     img, _ = _split_channels(img)
     h, w = img.shape[-2:]
     Hm = np.eye(3) if H is None else np.asarray(H, dtype=np.float64)
@@ -157,12 +157,9 @@ def hex_to_rect_resample(hex_image, rect_dsize: Optional[Tuple[int, int]] = None
 
     Rebuild of ``geometry_np.py:191-356`` (= torch ``hex_to_square_resample``,
     ``geometry_torch.py:296-446``).  Same divergences as
-    :func:`image_geometric_transformation`.
+    :func:`image_geometric_transformation` (incl. the implemented
+    ``'bilinear'`` method 2).
     """
-    if interpolation == "bilinear":
-        raise NotImplementedError(
-            "'bilinear' maps to an unimplemented method in the reference; "
-            "use 'linear'.")
     img, _ = _split_channels(hex_image)
     h, w = img.shape[-2:]
     h1, w1 = (h, w) if rect_dsize is None else tuple(rect_dsize)
@@ -207,13 +204,10 @@ def hexresize(image, dsize: Tuple[int, int], interpolation: str = "linear",
     Rebuild of ``geometry_np.py:520-681`` (the numba host ``hexresize`` at
     ``geometry.py:437-522`` is broken — undefined ``offset``/``hex_image`` —
     and is superseded by this).  Like the reference, the output grid is a
-    plain linspace lattice without the odd-row shift.
+    plain linspace lattice without the odd-row shift.  ``'bilinear'``
+    (method 2, parallelogram lerp) is implemented — the reference silently
+    returns uninitialised memory for it (``geometry_np.py:658-679``).
     """
-    if interpolation == "bilinear":
-        raise NotImplementedError(
-            "'bilinear' is not a hexresize mode (the reference silently "
-            "returns uninitialised memory for it, geometry_np.py:658-679); "
-            "use 'linear'.")
     img, _ = _split_channels(image)
     h, w = img.shape[-2:]
     h1, w1 = tuple(dsize)

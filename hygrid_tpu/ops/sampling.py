@@ -118,9 +118,24 @@ def hex_sample_plan(x, y, h: int, w: int, method: str, xp=np) -> SamplePlan:
         jj = xp.where(sel == 0, j1, xp.where(sel == 1, j2s, j4))
         vv = xp.where(sel == 0, v1, xp.where(sel == 1, v2, v3))
         return _finalize([(ii, jj)], [vv.astype(fdt)], h, w, xp, exact_select=True)
-    raise ValueError(f"unsupported hex sampling method {method!r} "
-                     "(the reference's 'bilinear' entry maps to an unimplemented "
-                     "path, geometry_np.py:15/195)")
+    if method == "bilinear":
+        # Method 2 of the reference's interpolation enum — declared at
+        # ``geometry_np.py:15`` but never implemented in the numpy backend;
+        # the CUDA kernel sketches the evident intent (``geometry.py:52-86``):
+        # a two-stage lerp over the AFFINE parallelogram spanned by all 4
+        # de-skewed neighbours, weighted by the affine fractional parts.
+        # DIVERGENCE (fixed bug): the kernel reuses the j_n-edge term in
+        # both halves of the lerp (``geometry.py:77-84`` — t3/t4 are loaded
+        # and never used), collapsing bilinear to a 1-D lerp; this
+        # implementation completes the intent:
+        #   out = (1-j_f) * [(1-i_f) t1 + i_f t2] + j_f * [(1-i_f) t3 + i_f t4]
+        vall = [valid(i1, j1), valid(i2, j2), valid(i3, j3), valid(i4, j4)]
+        ws = [(1 - i_f) * (1 - j_f), i_f * (1 - j_f),
+              (1 - i_f) * j_f, i_f * j_f]
+        return _finalize(
+            [(i1, j1), (i2, j2), (i3, j3), (i4, j4)],
+            [wk * vk.astype(fdt) for wk, vk in zip(ws, vall)], h, w, xp)
+    raise ValueError(f"unsupported hex sampling method {method!r}")
 
 
 def rect_sample_plan(x, y, h: int, w: int, method: str, xp=np,

@@ -65,6 +65,12 @@ def hex_sample_point(img_hw_c, x, y, method):
             (x - p3[0]) ** 2 + (y - p3[1]) ** 2,
         ]
         return [v1, v2, v3][int(np.argmin(ds))]
+    if method == "bilinear":
+        # method 2: two-stage lerp over the affine parallelogram of all 4
+        # de-skewed neighbours, weighted by the affine fractional parts
+        low = (1 - i_f) * value(n1) + i_f * value(n2)
+        high = (1 - i_f) * value(n3) + i_f * value(n4)
+        return (1 - j_f) * low + j_f * high
     raise ValueError(method)
 
 

@@ -537,3 +537,20 @@ def test_pallas_stack_norms_guards():
         hex_conv_stack_pallas(
             x, ks, radius=2, fused=True,
             norms=[("affine", np.ones(16), np.zeros(16))] * 2)
+
+
+def test_hex_bilinear_plan_rides_pallas():
+    """Hex-source 'bilinear' (method 2, new in r3) produces row-separable
+    plans that ride the fused resample kernel like the other modes."""
+    from hygrid_tpu.ops import sampling
+    from hygrid_tpu.ops.geometry import _linspace_grid
+    from hygrid_tpu import lattice
+    from hygrid_tpu.kernels.resample_pallas import (
+        pallas_resample_applicable, apply_plan_pallas)
+    gx, gy = _linspace_grid(lattice.corner_box("hexresize", 32, 32), 48, 40)
+    plan = sampling.hex_sample_plan(gx, gy, 32, 32, "bilinear")
+    assert pallas_resample_applicable(plan, 3, 4)
+    x = np.random.default_rng(0).random((3, 32, 32)).astype(np.float32)
+    a = np.asarray(apply_plan_pallas(x, plan))
+    b = np.asarray(sampling.apply_plan(x, plan))
+    np.testing.assert_allclose(a, b, atol=1e-5)
