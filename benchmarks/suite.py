@@ -146,6 +146,52 @@ def bench_hexcnn512(batch=32):
         "vs_baseline": None}))
 
 
+def bench_hexunet(batch=8, size=512):
+    """HexUNet dense prediction at 512^2 inputs: full pipeline rect->hex
+    resample -> encoder/decoder -> per-cell logits at 256^2 hex resolution
+    (VERDICT r2 item 8: the dense-prediction model families need perf
+    lines)."""
+    from hygrid_tpu.models import HexUNet, hexify_batch
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((batch, 3, size, size)), jnp.float32)
+    model = HexUNet(num_classes=4, widths=(32, 64, 128), norm="GN",
+                    dtype=jnp.bfloat16)
+    params = model.init(jax.random.key(0), hexify_batch(x[:1]))
+
+    @jax.jit
+    def f(v):
+        return model.apply(params, hexify_batch(v.astype(jnp.bfloat16)))
+
+    per = _timeit(f, x, n=6)
+    print(json.dumps({
+        "metric": f"HexUNet-small segmentation at {size}^2 inputs, "
+                  f"batch {batch}",
+        "value": round(batch / per, 1), "unit": "images/sec/chip",
+        "vs_baseline": None}))
+
+
+def bench_hexvit(batch=32, size=512):
+    """HexViT classification at 512^2 inputs: rect->hex resample -> hex
+    patchify -> transformer encoder."""
+    from hygrid_tpu.models import hexvit_tiny, hexify_batch
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((batch, 3, size, size)), jnp.float32)
+    model = hexvit_tiny(dtype=jnp.bfloat16)
+    params = model.init(jax.random.key(0), hexify_batch(x[:1]))
+
+    @jax.jit
+    def f(v):
+        return model.apply(params, hexify_batch(v.astype(jnp.bfloat16)))
+
+    per = _timeit(f, x, n=8)
+    print(json.dumps({
+        "metric": f"HexViT-tiny inference at {size}^2 inputs, batch {batch}",
+        "value": round(batch / per, 1), "unit": "images/sec/chip",
+        "vs_baseline": None}))
+
+
 def bench_resample4k():
     """>VMEM resample: 4K->4K hex->rect linear; the 33 MB/plane source
     exceeds the VMEM budget, so this exercises the row-banded kernel
@@ -206,6 +252,8 @@ ALL = {
     "batched_filter": bench_batched_filter,
     "hexcnn": bench_hexcnn,
     "hexcnn512": bench_hexcnn512,
+    "hexunet": bench_hexunet,
+    "hexvit": bench_hexvit,
     "resample4k": bench_resample4k,
     "video": bench_video,
     "mosaic": bench_mosaic,

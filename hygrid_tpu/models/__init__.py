@@ -13,6 +13,8 @@ from .train import (
     eval_step,
     hexify_batch,
     synthetic_hex_cifar,
+    synthetic_hex_shapes,
+    mean_iou,
 )
 
 __all__ = [
@@ -38,4 +40,6 @@ __all__ = [
     "eval_step",
     "hexify_batch",
     "synthetic_hex_cifar",
+    "synthetic_hex_shapes",
+    "mean_iou",
 ]

@@ -25,6 +25,8 @@ __all__ = [
     "eval_step",
     "hexify_batch",
     "synthetic_hex_cifar",
+    "synthetic_hex_shapes",
+    "mean_iou",
 ]
 
 
@@ -58,11 +60,26 @@ def _forward(state: TrainState, params, images, train: bool):
     return logits, None
 
 
+def _class_axis_last(logits, labels):
+    """Dense-prediction support: channel-first per-cell logits
+    (B, K, h, w) against (B, h, w) labels move the class axis last so the
+    same cross-entropy/accuracy code serves classifiers and segmenters.
+    (Classification labels are rank 1; any higher-rank labels mean the
+    spatial dims trail the class axis in the logits.)"""
+    if labels.ndim >= 2 and logits.ndim == labels.ndim + 1:
+        return jnp.moveaxis(logits, 1, -1)
+    return logits
+
+
 def train_step(state: TrainState, images, labels):
-    """One optimization step. Pure; jit (optionally over a mesh) outside."""
+    """One optimization step. Pure; jit (optionally over a mesh) outside.
+
+    ``labels`` may be (B,) class ids (classification) or (B, h, w) per-cell
+    ids against (B, K, h, w) logits (dense prediction / segmentation)."""
 
     def loss_fn(params):
         logits, new_stats = _forward(state, params, images, train=True)
+        logits = _class_axis_last(logits, labels)
         loss = optax.softmax_cross_entropy_with_integer_labels(
             logits, labels).mean()
         return loss, (logits, new_stats)
@@ -78,10 +95,31 @@ def train_step(state: TrainState, images, labels):
 
 def eval_step(state: TrainState, images, labels):
     logits, _ = _forward(state, state.params, images, train=False)
+    logits = _class_axis_last(logits, labels)
     loss = optax.softmax_cross_entropy_with_integer_labels(
         logits, labels).mean()
     acc = jnp.mean(jnp.argmax(logits, -1) == labels)
     return {"loss": loss, "accuracy": acc}
+
+
+def mean_iou(logits, labels, num_classes: int):
+    """Mean intersection-over-union over classes (the mmsegmentation
+    headline metric — the reference's downstream, ``HexModules.py:16``).
+    ``logits`` (B, K, h, w) or (B, h, w, K); ``labels`` (B, h, w).
+    Classes absent from both prediction and truth are skipped."""
+    logits = _class_axis_last(jnp.asarray(logits), jnp.asarray(labels))
+    pred = jnp.argmax(logits, -1)
+    ious, valid = [], []
+    for k in range(num_classes):
+        p = pred == k
+        t = labels == k
+        inter = jnp.sum(p & t)
+        union = jnp.sum(p | t)
+        ious.append(jnp.where(union > 0, inter / jnp.maximum(union, 1), 0.0))
+        valid.append(union > 0)
+    ious = jnp.stack(ious)
+    valid = jnp.stack(valid)
+    return jnp.sum(ious * valid) / jnp.maximum(jnp.sum(valid), 1)
 
 
 def hexify_batch(images, hex_size: Optional[Tuple[int, int]] = None,
@@ -116,3 +154,40 @@ def synthetic_hex_cifar(rng: np.random.Generator, n: int, *,
     images += rng.normal(0, 0.3, images.shape).astype(np.float32)
     hexed = np.asarray(hexify_batch(images))
     return jnp.asarray(hexed), jnp.asarray(labels)
+
+
+def synthetic_hex_shapes(rng: np.random.Generator, n: int, *, size: int = 64,
+                         num_classes: int = 4, noise: float = 0.25):
+    """Synthetic dense-prediction task: rect scenes of noisy colored shapes
+    -> per-cell class labels, both hexified (images bilinear; labels ride
+    the NEAREST exact-select path, which preserves integer labels
+    bit-exactly).  Class 0 is background; classes 1..3 are disks, squares
+    and diamonds whose fill colors overlap under the noise, so the model
+    must also read shape context.  Stands in for an mmsegmentation-style
+    dataset (the reference's downstream, ``HexModules.py:16``)."""
+    colors = np.array([[0.1, 0.1, 0.1],          # background
+                       [0.9, 0.3, 0.2],          # disk
+                       [0.2, 0.8, 0.3],          # square
+                       [0.3, 0.4, 0.9]])[:num_classes]
+    yy, xx = np.mgrid[0:size, 0:size]
+    images = np.zeros((n, 3, size, size), np.float32)
+    labels = np.zeros((n, size, size), np.int64)
+    for i in range(n):
+        images[i] = colors[0][:, None, None]
+        for _ in range(int(rng.integers(2, 5))):
+            cls = int(rng.integers(1, num_classes))
+            cy, cx = rng.integers(10, size - 10, 2)
+            r = int(rng.integers(6, 12))
+            if cls == 1:
+                mask = (yy - cy) ** 2 + (xx - cx) ** 2 <= r * r
+            elif cls == 2:
+                mask = (np.abs(yy - cy) <= r) & (np.abs(xx - cx) <= r)
+            else:
+                mask = np.abs(yy - cy) + np.abs(xx - cx) <= r
+            images[i, :, mask] = colors[cls]
+            labels[i][mask] = cls
+    images += rng.normal(0, noise, images.shape).astype(np.float32)
+    hex_images = np.asarray(hexify_batch(images))
+    hex_labels = np.asarray(geometry.rect_to_hex_resample(
+        labels.astype(np.int32), (size // 2, size // 2), "nearest"))
+    return (jnp.asarray(hex_images), jnp.asarray(hex_labels.astype(np.int32)))
