@@ -186,6 +186,219 @@ def packed_hex_conv_pallas(x, kernel, bias=None, *, even_odd_offset: int = 0,
     return _merge_phases(unpack(oute, ho_e), unpack(outo, ho_o), bias)
 
 
+# ------------------- banded packed-domain stack layer -----------------------
+
+def _stack_layer_kernel_banded(xe_ref, xo_ref, me_ref, mo_ref, be_ref,
+                               oute_ref, outo_ref,
+                               ine, ino, oute_s, outo_s, ztop, fsem, osem,
+                               *, meta_e, meta_o, brr, h2, wp_out,
+                               relu: bool, has_bias: bool, tail_cut: int,
+                               bg: int, L: int, n_bands: int):
+    """Row-banded 'same' layer: the packed planes stay in HBM
+    (``memory_space=ANY``); each grid step DMAs one double-buffered row
+    band of ``L = brr + max_r0`` rows into VMEM, runs the slot matmuls for
+    ``brr`` output rows at batch group ``bg``, and DMA-stores the band.
+
+    This is the VERDICT-r2-item-2 middle path: the full-plane kernel at
+    bg=8 reaches 86% of the executed-FLOP roofline but its ~86 MB VMEM
+    footprint starves neighbour-kernel overlap end-to-end; banding keeps
+    bg=8-sized matmul M-dims at ~1/4 the VMEM.  In-place aliasing is
+    impossible here (band j+1 reads rows band j just wrote), so margins
+    are re-written each layer: every band stores full-width rows with
+    zeroed margin columns, rows outside the interior are masked to zero,
+    and band 0 also zeroes the two top margin rows.
+
+    Layout (banded mode only): rows_tot_b = 1 + h2p + max_r0 with TWO top
+    zero rows and interior at rows [2, 2 + h2); h2p = n_bands * brr >=
+    h2 + max_r0 - 1.  The phase metadata is unchanged — band j's fetch
+    window starts at margined row ``1 + j*brr``, making the in-window read
+    row exactly ``meta_r0 + local_row``.
+    """
+    g = pl.program_id(0)
+    j = pl.program_id(1)
+    lanes = oute_s.shape[-1]
+
+    def fetches(band, slot):
+        start = 1 + band * brr
+        return (
+            pltpu.make_async_copy(
+                xe_ref.at[pl.ds(g * bg, bg), pl.ds(start, L)],
+                ine.at[slot], fsem.at[slot, 0]),
+            pltpu.make_async_copy(
+                xo_ref.at[pl.ds(g * bg, bg), pl.ds(start, L)],
+                ino.at[slot], fsem.at[slot, 1]))
+
+    @pl.when(j == 0)
+    def _():
+        for c in fetches(0, 0):
+            c.start()
+
+    @pl.when(j + 1 < n_bands)
+    def _():
+        for c in fetches(j + 1, (j + 1) % 2):
+            c.start()
+
+    slot = j % 2
+    for c in fetches(j, slot):
+        c.wait()
+
+    # validity masks: rows past the interior and ragged tail pixels -> 0
+    rid = lax.broadcasted_iota(jnp.int32, (brr, wp_out, lanes), 0) + j * brr
+    keep = (rid < h2).astype(jnp.float32)
+    if tail_cut:
+        col_ids = lax.broadcasted_iota(jnp.int32, (brr, wp_out, lanes), 1)
+        lane_ids = lax.broadcasted_iota(jnp.int32, (brr, wp_out, lanes), 2)
+        keep = keep * (~((col_ids == wp_out - 1)
+                         & (lane_ids >= tail_cut))).astype(jnp.float32)
+
+    def run_phase(meta, mref, out_s):
+        acc = jnp.zeros((bg * brr * wp_out, lanes), jnp.float32)
+        for idx, ((src, r0, sblk), _) in enumerate(meta):
+            ref = ine if src == 0 else ino
+            blk = ref[slot, 0:bg, r0:r0 + brr, sblk:sblk + wp_out, :]
+            acc = acc + jnp.dot(blk.reshape(bg * brr * wp_out, blk.shape[-1]),
+                                mref[idx], preferred_element_type=jnp.float32)
+        if has_bias:
+            acc = acc + be_ref[0, :].astype(jnp.float32)
+        if relu:
+            acc = jnp.maximum(acc, 0.0)
+        out = acc.reshape(bg, brr, wp_out, lanes) * keep[None]
+        out_s[...] = jnp.zeros(out_s.shape, out_s.dtype)
+        out_s[:, :, 1:1 + wp_out, :] = out.astype(out_s.dtype)
+
+    run_phase(meta_e, me_ref, oute_s)
+    run_phase(meta_o, mo_ref, outo_s)
+
+    stores = (
+        pltpu.make_async_copy(
+            oute_s, oute_ref.at[pl.ds(g * bg, bg), pl.ds(2 + j * brr, brr)],
+            osem.at[0]),
+        pltpu.make_async_copy(
+            outo_s, outo_ref.at[pl.ds(g * bg, bg), pl.ds(2 + j * brr, brr)],
+            osem.at[1]))
+    for c in stores:
+        c.start()
+
+    @pl.when(j == 0)
+    def _():
+        ztop[...] = jnp.zeros(ztop.shape, ztop.dtype)
+        tops = (
+            pltpu.make_async_copy(
+                ztop, oute_ref.at[pl.ds(g * bg, bg), pl.ds(0, 2)],
+                osem.at[2]),
+            pltpu.make_async_copy(
+                ztop, outo_ref.at[pl.ds(g * bg, bg), pl.ds(0, 2)],
+                osem.at[3]))
+        for c in tops:
+            c.start()
+        for c in tops:
+            c.wait()
+
+    for c in stores:
+        c.wait()
+
+
+def _stack_impl_banded(x, kernels, biases, statics):
+    """Banded-layer variant of ``_stack_impl`` (norm-free, uniform width).
+    See :func:`_stack_layer_kernel_banded` for the layout."""
+    (radius, dilation, activation, final_activation, _fused, batch_group,
+     _norm_kinds, band_rows) = statics
+    b, c, h, w = x.shape
+    d = dilation
+    relu = activation == "relu"
+    chans = [c] + [int(k.shape[0]) for k in kernels]
+    if any(ci != c for ci in chans):
+        raise ValueError("banded stack requires uniform channel widths")
+    q = 128 // c
+    h2 = h // 2
+    wp = -(-w // q)
+    dtype = x.dtype
+    bg = batch_group or min(8, b)
+    while b % bg:
+        bg -= 1
+    brr = band_rows
+    meta_e, meta_o = _phase_meta_same(radius, d, q)
+    max_r0 = max(r0 for m in (meta_e, meta_o) for ((_, r0, _sb), _) in m)
+    max_sblk = max(sb for m in (meta_e, meta_o) for ((_, _r, sb), _) in m)
+    mcr = max(0, max_sblk - 1)
+    cols_tot = 1 + wp + mcr
+    n_bands = -(-(h2 + max_r0 - 1) // brr)
+    h2p = n_bands * brr
+    rows_tot = 1 + h2p + max_r0
+    L = brr + max_r0
+
+    xl = jnp.moveaxis(x, 1, -1)
+    pad_w = wp * q - w
+    if pad_w:
+        xl = jnp.pad(xl, ((0, 0), (0, 0), (0, pad_w), (0, 0)))
+    xe = xl[:, 0::2].reshape(b, h2, wp, q * c)
+    xo = xl[:, 1::2].reshape(b, h2, wp, q * c)
+
+    def with_margins(v):
+        return jnp.pad(v, ((0, 0), (2, rows_tot - 2 - h2), (1, mcr), (0, 0)))
+
+    xe, xo = with_margins(xe), with_margins(xo)
+    tail_cut = (w % q) * c if (w % q) else 0
+
+    for li, kern in enumerate(kernels):
+        me = _assemble_mats(kern, meta_e, q, c, c, dtype)
+        mo = _assemble_mats(kern, meta_o, q, c, c, dtype)
+        has_bias = biases[li] is not None
+        bvec = (jnp.tile(biases[li], q) if has_bias
+                else jnp.zeros((q * c,), dtype))[None]
+        layer_relu = relu and (final_activation or li < len(kernels) - 1)
+        kfn = functools.partial(
+            _stack_layer_kernel_banded, meta_e=meta_e, meta_o=meta_o,
+            brr=brr, h2=h2, wp_out=wp, relu=layer_relu, has_bias=has_bias,
+            tail_cut=tail_cut, bg=bg, L=L, n_bands=n_bands)
+        xe, xo = pl.pallas_call(
+            kfn,
+            grid=(b // bg, n_bands),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((len(meta_e), 128, q * c), lambda g, j: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((len(meta_o), 128, q * c), lambda g, j: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, q * c), lambda g, j: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((b, rows_tot, cols_tot, 128), dtype),
+                jax.ShapeDtypeStruct((b, rows_tot, cols_tot, 128), dtype),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2, bg, L, cols_tot, 128), dtype),
+                pltpu.VMEM((2, bg, L, cols_tot, 128), dtype),
+                pltpu.VMEM((bg, brr, cols_tot, 128), dtype),
+                pltpu.VMEM((bg, brr, cols_tot, 128), dtype),
+                pltpu.VMEM((bg, 2, cols_tot, 128), dtype),
+                pltpu.SemaphoreType.DMA((2, 2)),
+                pltpu.SemaphoreType.DMA((4,)),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=int(min(
+                    110 * 2 ** 20,
+                    (4 * bg * L + 2 * bg * brr + 2 * bg) * cols_tot * 128
+                    * dtype.itemsize + 8 * bg * brr * wp * 128
+                    + 24 * 2 ** 20))),
+            interpret=jax.default_backend() != "tpu",
+        )(xe, xo, me, mo, bvec)
+
+    def unpack(v):
+        v = v[:, 2:2 + h2, 1:1 + wp]
+        return v.reshape(b, h2, wp * q, c)[:, :, :w]
+    ye, yo = unpack(xe), unpack(xo)
+    out = jnp.zeros((b, h, w, c), dtype)
+    out = out.at[:, 0::2].set(ye).at[:, 1::2].set(yo)
+    return jnp.moveaxis(out, -1, 1)
+
+
 # ---------------------- packed-domain 'same' conv stack ----------------------
 
 def _phase_meta_same(radius: int, d: int, q: int):
@@ -396,7 +609,8 @@ def hex_conv_stack_pallas(x, kernels, biases=None, *, radius: int,
                           final_activation: bool = True,
                           fused: bool = False,
                           batch_group: int | None = None,
-                          norms=None):
+                          norms=None,
+                          band_rows: int | None = None):
     """A chain of 'same' hex convolutions fully in the packed domain.
 
     Packs once, runs every layer as one fused Pallas kernel (all Kronecker
@@ -447,8 +661,15 @@ def hex_conv_stack_pallas(x, kernels, biases=None, *, radius: int,
     norm_kinds, norm_arrays = _split_norms(norms, kernels)
     if fused and any(k is not None for k in norm_kinds):
         raise ValueError("norms are not supported with fused=True")
+    if band_rows is not None:
+        if any(k is not None for k in norm_kinds):
+            raise ValueError(
+                "band_rows is incompatible with norms: GroupNorm needs "
+                "whole-image statistics, a band sees only its rows")
+        if fused:
+            raise ValueError("band_rows is incompatible with fused=True")
     statics = (radius, dilation, activation, final_activation, fused,
-               batch_group, norm_kinds)
+               batch_group, norm_kinds, band_rows)
     return _stack_ad(x, kernels, biases, norm_arrays, statics)
 
 
@@ -548,7 +769,9 @@ _stack_ad.defvjp(_stack_fwd, _stack_bwd)
 
 def _stack_impl(x, kernels, biases, norm_arrays, statics):
     (radius, dilation, activation, final_activation, fused, batch_group,
-     norm_kinds) = statics
+     norm_kinds, band_rows) = statics
+    if band_rows is not None:
+        return _stack_impl_banded(x, kernels, biases, statics)
     b, c, h, w = x.shape
     d = dilation
     relu = activation == "relu"

@@ -554,3 +554,60 @@ def test_hex_bilinear_plan_rides_pallas():
     a = np.asarray(apply_plan_pallas(x, plan))
     b = np.asarray(sampling.apply_plan(x, plan))
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+@pytest.mark.parametrize("C,r,L,h,w,bg,brr,bias_on", [
+    (16, 2, 3, 16, 16, 2, 4, True),
+    (16, 2, 2, 18, 13, 3, 8, False),
+    (32, 3, 2, 12, 10, 1, 4, True),
+    (128, 2, 2, 12, 10, 1, 4, True),   # q=1 degenerate packing
+])
+def test_banded_stack_matches_chained(C, r, L, h, w, bg, brr, bias_on):
+    """Row-banded stack layers (HBM-resident planes + double-buffered band
+    DMA, VERDICT r2 item 2) equal the chained per-op path — including
+    non-dividing band counts, masked slack rows and margin re-writes."""
+    rng = np.random.default_rng(C * 7 + L)
+    x = rng.random((6, C, h, w)).astype(np.float32)
+    ks = [(rng.random((C, C, F.hex_kernel_num(r))) - 0.5).astype(np.float32)
+          for _ in range(L)]
+    bs = ([rng.random(C).astype(np.float32) for _ in range(L)]
+          if bias_on else None)
+    ref = jnp.asarray(x)
+    for i, k in enumerate(ks):
+        b_ = bs[i] if bias_on else None
+        ref = jax.nn.relu(F.hex_conv2d(ref, k, b_, even_odd_offset=0,
+                                       radius=r, padding=r - 1,
+                                       impl="direct"))
+    got = hex_conv_stack_pallas(x, ks, bs, radius=r, batch_group=bg,
+                                band_rows=brr)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_banded_stack_grads_and_guards():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(2, 16, 12, 12)), jnp.float32)
+    ks = [jnp.asarray(rng.normal(0, 0.2, (16, 16, 7)), jnp.float32)
+          for _ in range(2)]
+
+    def loss_banded(x, ks):
+        return jnp.sum(hex_conv_stack_pallas(
+            x, ks, None, radius=2, band_rows=4) ** 2)
+
+    def loss_ref(x, ks):
+        h = x
+        for k in ks:
+            h = jax.nn.relu(F.hex_conv2d(h, k, even_odd_offset=0, radius=2,
+                                         padding=1))
+        return jnp.sum(h ** 2)
+
+    g1 = jax.grad(loss_banded, argnums=(0, 1))(x, ks)
+    g2 = jax.grad(loss_ref, argnums=(0, 1))(x, ks)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=1e-3)
+    with pytest.raises(ValueError):   # banded + norms: no global stats
+        hex_conv_stack_pallas(
+            np.ones((1, 16, 8, 8), np.float32), ks[:1], radius=2,
+            band_rows=4,
+            norms=[("gn", 8, np.ones(16), np.zeros(16))])
