@@ -18,7 +18,8 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from . import functional as F
-from .layers import HexConv2d, HexConv2dAdaptivePadding
+from .layers import (HexConv2d, HexConv2dAdaptivePadding,
+                     HexConvStack)
 
 __all__ = [
     "CONV_LAYERS",
@@ -48,6 +49,7 @@ def register_conv_layer(name: str, module: Optional[type] = None):
 
 register_conv_layer("HexConv2d", HexConv2d)
 register_conv_layer("HexConv2dAdaptivePadding", HexConv2dAdaptivePadding)
+register_conv_layer("HexConvStack", HexConvStack)
 
 
 def build_hexconv_layer(cfg: Optional[Dict], *args, **kwargs):
