@@ -51,6 +51,7 @@ class HexCNN(nn.Module):
     radius: int = 2
     norm: str = "BN"
     use_stack: bool = True
+    stack_min_cells: int = 1024
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -68,8 +69,8 @@ class HexCNN(nn.Module):
                 x = HexConvStack(
                     in_channels=cin, width=width, depth=self.depth,
                     hexkernel_radius=self.radius, norm=self.norm,
-                    num_groups=8, dtype=self.dtype,
-                    name=f"stage{stage}")(x)
+                    num_groups=8, min_cells=self.stack_min_cells,
+                    dtype=self.dtype, name=f"stage{stage}")(x)
                 cin = width
             else:
                 for d in range(self.depth):

@@ -103,6 +103,7 @@ class HexUNet(nn.Module):
     norm: str = "GN"
     upsample: str = "transpose"  # or "pixelshuffle"
     use_stack: bool = True
+    stack_min_cells: int = 1024
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -119,7 +120,8 @@ class HexUNet(nn.Module):
                 return HexConvStack(
                     in_channels=c_in, width=width, depth=self.depth,
                     hexkernel_radius=self.radius, norm=self.norm,
-                    num_groups=8, dtype=self.dtype, name=name)(v)
+                    num_groups=8, min_cells=self.stack_min_cells,
+                    dtype=self.dtype, name=name)(v)
             for d in range(self.depth):
                 v = HexConvModule(
                     in_channels=c_in if d == 0 else width,

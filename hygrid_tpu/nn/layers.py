@@ -161,6 +161,7 @@ class HexConvStack(nn.Module):
     final_activation: bool = True
     use_bias: Union[bool, str] = "auto"
     batch_group: Optional[int] = None
+    min_cells: int = 1024
     dtype: Optional[jnp.dtype] = None
     param_dtype: jnp.dtype = jnp.float32
 
@@ -207,9 +208,18 @@ class HexConvStack(nn.Module):
 
     def _stack_applicable(self, x) -> bool:
         w_ok = self.width <= 128 and 128 % self.width == 0
-        return (w_ok and self.even_odd_offset == 0
+        if not (w_ok and self.even_odd_offset == 0
                 and x.shape[-2] % 2 == 0
-                and self.in_channels <= self.width)
+                and self.in_channels <= self.width):
+            return False
+        # per-batch-element packed matmul M-dim: tiny images (e.g. the
+        # hex-CIFAR 16^2 case, M=32 rows) run FASTER on the per-op mxu
+        # path — measured on v5e: hex-CIFAR HexCNN dropped 74-86k ->
+        # 67k img/s when tiny stages rode the stack.  min_cells=0 forces
+        # the stack (tests use it to exercise the kernel at small sizes).
+        q = 128 // self.width
+        m_elem = (x.shape[-2] // 2) * (-(-x.shape[-1] // q))
+        return m_elem >= self.min_cells
 
     def __call__(self, x):
         from ..kernels.conv_pallas import hex_conv_stack_pallas

@@ -468,7 +468,7 @@ class TestHexConvStackWiring:
 
         rng = np.random.default_rng(0)
         x = jnp.asarray(rng.random((2, 3, 16, 16)), jnp.float32)
-        kw = dict(channels=(16, 32), depth=2, norm="GN")
+        kw = dict(channels=(16, 32), depth=2, norm="GN", stack_min_cells=0)
         m_mod = HexCNN(use_stack=False, **kw)
         m_stk = HexCNN(use_stack=True, **kw)
         p_mod = m_mod.init(jax.random.key(0), x)["params"]
