@@ -173,12 +173,14 @@ def bench_hexunet(batch=8, size=512):
 
 def bench_hexvit(batch=32, size=512):
     """HexViT classification at 512^2 inputs: rect->hex resample -> hex
-    patchify -> transformer encoder."""
-    from hygrid_tpu.models import hexvit_tiny, hexify_batch
+    conv patch stem (4 halvings: 256^2 hex -> 16^2 = 256 tokens, the
+    standard ViT token count for this scale) -> transformer encoder."""
+    from hygrid_tpu.models import HexViT, hexify_batch
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.random((batch, 3, size, size)), jnp.float32)
-    model = hexvit_tiny(dtype=jnp.bfloat16)
+    model = HexViT(dim=192, depth=6, heads=3, patch_halvings=4,
+                   dtype=jnp.bfloat16)
     params = model.init(jax.random.key(0), hexify_batch(x[:1]))
 
     @jax.jit
@@ -187,7 +189,8 @@ def bench_hexvit(batch=32, size=512):
 
     per = _timeit(f, x, n=8)
     print(json.dumps({
-        "metric": f"HexViT-tiny inference at {size}^2 inputs, batch {batch}",
+        "metric": f"HexViT (d192/L6, 256 tokens) inference at {size}^2 "
+                  f"inputs, batch {batch}",
         "value": round(batch / per, 1), "unit": "images/sec/chip",
         "vs_baseline": None}))
 

@@ -36,7 +36,22 @@ __all__ = ["packed_hex_conv_pallas", "pallas_conv_applicable",
            "hex_conv_stack_pallas"]
 
 
-def pallas_conv_applicable(c: int, co: int, stride: int, groups: int) -> bool:
+def pallas_conv_applicable(c: int, co: int, stride: int, groups: int,
+                           n_elements: int | None = None) -> bool:
+    """Envelope of the single-op Pallas conv.
+
+    Beyond the structural constraints, inputs above 2**24 total elements
+    are fenced out: on v5e the single-op kernel above that size is both
+    compile-unstable (intermittent Mosaic internal errors — reproducible
+    in round 2 at C=32/256^2/b=32 and again in the round-3 sweep at both
+    >2**24 cells, though isolated reruns of the same cells later
+    compiled) and a measured loss vs the best XLA impl by 1.5-2.1x
+    (``benchmarks/pallas_conv_sweep.py``, PERF.md round-3 table), so the
+    wrapper silently falls back to the equivalent XLA path there instead
+    of risking a compiler crash for a slower kernel.
+    """
+    if n_elements is not None and n_elements > 2 ** 24:
+        return False
     return (stride == 1 and groups == 1 and c <= 128 and 128 % c == 0
             and co * (128 // c) <= 512)
 
@@ -321,7 +336,12 @@ def _stack_impl_banded(x, kernels, biases, statics):
     max_r0 = max(r0 for m in (meta_e, meta_o) for ((_, r0, _sb), _) in m)
     max_sblk = max(sb for m in (meta_e, meta_o) for ((_, _r, sb), _) in m)
     mcr = max(0, max_sblk - 1)
-    cols_tot = 1 + wp + mcr
+    # Mosaic DMA slices must be 8-aligned along the sublane (second-to-
+    # minor) dim: a 34-wide plane sliced whole out of its 40-wide tiled
+    # allocation is refused ("Slice shape along dimension 2 must be
+    # aligned to tiling (8)"), so round the packed-column extent up to a
+    # multiple of 8 — the extra margin columns are zero and never read.
+    cols_tot = -(-(1 + wp + mcr) // 8) * 8
     n_bands = -(-(h2 + max_r0 - 1) // brr)
     h2p = n_bands * brr
     rows_tot = 1 + h2p + max_r0
@@ -335,7 +355,8 @@ def _stack_impl_banded(x, kernels, biases, statics):
     xo = xl[:, 1::2].reshape(b, h2, wp, q * c)
 
     def with_margins(v):
-        return jnp.pad(v, ((0, 0), (2, rows_tot - 2 - h2), (1, mcr), (0, 0)))
+        return jnp.pad(v, ((0, 0), (2, rows_tot - 2 - h2),
+                           (1, cols_tot - 1 - wp), (0, 0)))
 
     xe, xo = with_margins(xe), with_margins(xo)
     tail_cut = (w % q) * c if (w % q) else 0

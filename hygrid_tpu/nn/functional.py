@@ -461,7 +461,8 @@ def hex_conv2d(x, kernel, bias=None, *, even_odd_offset: int = 0,
     if impl == "pallas":
         from ..kernels.conv_pallas import (packed_hex_conv_pallas,
                                            pallas_conv_applicable)
-        if pallas_conv_applicable(x.shape[1], kernel.shape[0], s, groups) \
+        if pallas_conv_applicable(x.shape[1], kernel.shape[0], s, groups,
+                                  n_elements=x.size) \
                 and x.shape[2] - 2 >= (2 * radius - 2) * d + 1:
             # padding already applied above; parity already folded
             return packed_hex_conv_pallas(
