@@ -97,6 +97,28 @@ def test_applicability_predicate():
     assert not pallas_conv_applicable(16, 16, 2, 1)   # stride
     assert not pallas_conv_applicable(16, 16, 1, 2)   # groups
     assert not pallas_conv_applicable(5, 16, 1, 1)    # 128 % 5
+    # size fence: >2^24-element inputs are compile-unstable on the v5e
+    # toolchain (PERF.md round-3 sweep) and slower than XLA there
+    assert pallas_conv_applicable(16, 16, 1, 1, n_elements=2 ** 24)
+    assert not pallas_conv_applicable(16, 16, 1, 1, n_elements=2 ** 24 + 1)
+
+
+def test_pallas_impl_size_fence_falls_back():
+    """impl='pallas' on a >2^24-element input must route to the XLA path
+    (no pallas_call in the jaxpr), not risk the unstable Mosaic compile."""
+    x = jax.ShapeDtypeStruct((32, 32, 256, 256), jnp.bfloat16)   # 2^26 elems
+    k = jax.ShapeDtypeStruct((32, 32, 7), jnp.bfloat16)
+
+    def f(v, kk):
+        return F.hex_conv2d(v, kk, even_odd_offset=0, radius=2, padding=1,
+                            impl="pallas")
+
+    jaxpr = jax.make_jaxpr(f)(x, k)
+    assert "pallas_call" not in str(jaxpr)
+    # and a small input still takes the pallas kernel
+    xs = jax.ShapeDtypeStruct((1, 32, 64, 64), jnp.bfloat16)
+    jaxpr_small = jax.make_jaxpr(f)(xs, k)
+    assert "pallas_call" in str(jaxpr_small)
 
 
 def test_pallas_grad_flows():
