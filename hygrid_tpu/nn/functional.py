@@ -564,19 +564,55 @@ def hex_pool2d(x, method: str, kernel_size=2, stride=None, padding: int = 0,
     hn = (h - kh) // sh + 1
     wn = (w - sw // 2) // sw
 
-    gi, gj = np.meshgrid(np.arange(hn), np.arange(wn), indexing="ij")
-    li, lj = np.meshgrid(np.arange(kh), np.arange(kw), indexing="ij")
-    top = sh * gi
-    left = (gi % 2) * (sw // 2) + gj * sw
-    ii = top[:, :, None, None] + li[None, None]
-    jj = left[:, :, None, None] + lj[None, None]
-    if ii.max() >= h or jj.max() >= w:
+    # Window positions (reference formulas): window (gi, gj) reads rows
+    # sh*gi + [0, kh) and cols (gi % 2)*(sw//2) + sw*gj + [0, kw).
+    half = sw // 2
+    max_i = sh * (hn - 1) + kh - 1
+    max_j = (half if hn > 1 else 0) + sw * (wn - 1) + kw - 1
+    if max_i >= h or max_j >= w:
         raise ValueError(
             f"pooling window exceeds input: kernel {kernel_size}, stride "
             f"{stride} on ({h}, {w}) (the reference indexes out of bounds "
             "here as well, HexFrames.py:330-331)")
-    windows = x[:, :, jnp.asarray(ii), jnp.asarray(jj)]        # (b,c,hn,wn,kh,kw)
-    return reduce_fn(windows.reshape(b, c, hn, wn, kh * kw))
+    return _hex_window_reduce(x, reduce_fn, hn, wn, kh, kw, sh, sw, half)
+
+
+def _hex_window_reduce(x, reduce_fn, hn, wn, kh, kw, sh, sw, half):
+    """Reduce brick-lattice pooling windows — window (gi, gj) covers rows
+    ``sh*gi + [0, kh)`` and cols ``(gi % 2)*half + sw*gj + [0, kw)`` —
+    using STATIC STRIDED SLICES, not an advanced-indexing gather: XLA
+    lowers large arbitrary gathers to a per-element scalar loop on TPU
+    (PERF.md), which made this pooling a hidden cost of every model
+    stage.  For a fixed in-window offset (li, lj) and output-row parity
+    p, the source pixels form a strided grid — rows ``sh*(p + 2t) + li``,
+    cols ``p*half + sw*gj + lj`` — so each (p, li, lj) is one strided
+    slice; reduce per parity, then interleave the two parities' rows."""
+    b, c = x.shape[:2]
+    n_rows = (-(-hn // 2), hn // 2)            # parity 0 / parity 1 counts
+    reduced = []
+    for p in (0, 1):
+        n_p = n_rows[p]
+        if n_p == 0:
+            reduced.append(None)
+            continue
+        sls = []
+        for li in range(kh):
+            r0 = sh * p + li
+            rows = x[:, :, r0:r0 + 2 * sh * (n_p - 1) + 1:2 * sh]
+            for lj in range(kw):
+                c0 = p * half + lj
+                sls.append(rows[:, :, :, c0:c0 + sw * (wn - 1) + 1:sw])
+        win = jnp.stack(sls, axis=-1)          # (b, c, n_p, wn, kh*kw)
+        reduced.append(reduce_fn(win))
+    red_e, red_o = reduced
+    if red_o is None:
+        return red_e
+    m = n_rows[1]
+    body = jnp.stack([red_e[:, :, :m], red_o], axis=3)
+    body = body.reshape(b, c, 2 * m, wn)
+    if n_rows[0] > m:
+        body = jnp.concatenate([body, red_e[:, :, m:]], axis=2)
+    return body
 
 
 def hex_adaptive_pool2d(x, outsize, method: str):
@@ -596,14 +632,19 @@ def hex_adaptive_pool2d(x, outsize, method: str):
     grid_h = int(h / hn)
     grid_w = int(w / (wn + 0.5)) if grid_h > 1 else int(w / wn)
 
-    gi, gj = np.meshgrid(np.arange(hn), np.arange(wn), indexing="ij")
-    li, lj = np.meshgrid(np.arange(grid_h), np.arange(grid_w), indexing="ij")
-    top = grid_h * gi
-    left = (gi % 2) * (grid_w // 2) + gj * grid_w
-    ii = np.clip(top[:, :, None, None] + li[None, None], 0, h - 1)
-    jj = np.clip(left[:, :, None, None] + lj[None, None], 0, w - 1)
-    windows = x[:, :, jnp.asarray(ii), jnp.asarray(jj)]
-    return reduce_fn(windows.reshape(b, c, hn, wn, grid_h * grid_w))
+    # The reference clips window indices to the image (``HexFrames.py:
+    # 380-383``); clipping equals edge-replication padding by the maximum
+    # overrun, after which the windows are unclipped strided grids and
+    # ride the same static-strided-slice reduction as hex_pool2d.
+    half = grid_w // 2
+    max_i = grid_h * (hn - 1) + grid_h - 1
+    max_j = (half if hn > 1 else 0) + grid_w * (wn - 1) + grid_w - 1
+    pad_b, pad_r = max(0, max_i - (h - 1)), max(0, max_j - (w - 1))
+    if pad_b or pad_r:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, pad_b), (0, pad_r)),
+                    mode="edge")
+    return _hex_window_reduce(x, reduce_fn, hn, wn, grid_h, grid_w,
+                              grid_h, grid_w, half)
 
 
 def hex_global_pool2d(x, method: str):

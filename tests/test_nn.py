@@ -51,6 +51,80 @@ def test_hex_pool2d_golden(g, n):
     np.testing.assert_allclose(out, want, atol=1e-6)
 
 
+def test_pool_strided_slice_matches_gather():
+    """The strided-slice window extraction (no TPU scalar-loop gather,
+    PERF.md) must be bit-equal to the reference's index-grid gather
+    across kernel/stride/ceil/NaN configurations."""
+    rng = np.random.default_rng(7)
+    for _ in range(25):
+        h, w = int(rng.integers(6, 40)), int(rng.integers(6, 40))
+        kh, kw = int(rng.integers(1, 4)), int(rng.integers(1, 4))
+        sh, sw = int(rng.integers(1, 4)), int(rng.integers(1, 4))
+        cm, cip = bool(rng.integers(0, 2)), bool(rng.integers(0, 2))
+        meth = ("max", "min", "average")[int(rng.integers(0, 3))]
+        x = rng.random((2, 3, h, w)).astype(np.float32)
+        if rng.random() < 0.3:
+            x[0, 0, ::5, ::3] = np.nan
+        xp = jnp.asarray(x)
+        hh, ww = h, w
+        hn = hh // sh
+        wn = (ww - sw // 2 - sw) // sw + 1
+        if cm:
+            ph = (kh - hh + hn * sh) % kh
+            pw = (kw - ww + (wn * sw + sw // 2)) % kw
+            fill = 0.0 if cip else np.nan
+            xp = jnp.pad(xp, ((0, 0), (0, 0), (0, pw), (0, ph)),
+                         constant_values=fill)
+            hh, ww = xp.shape[-2:]
+        hn = (hh - kh) // sh + 1
+        wn = (ww - sw // 2) // sw
+        gi, gj = np.meshgrid(np.arange(hn), np.arange(wn), indexing="ij")
+        li, lj = np.meshgrid(np.arange(kh), np.arange(kw), indexing="ij")
+        ii = (sh * gi)[:, :, None, None] + li[None, None]
+        jj = ((gi % 2) * (sw // 2) + gj * sw)[:, :, None, None] + lj[None, None]
+        oob = hn < 1 or wn < 1 or ii.max() >= hh or jj.max() >= ww
+        if oob:
+            with pytest.raises(ValueError):
+                F.hex_pool2d(x, meth, (kh, kw), (sh, sw), ceil_mode=cm,
+                             count_include_pad=cip)
+            continue
+        want = F._reduction(meth)(
+            xp[:, :, jnp.asarray(ii), jnp.asarray(jj)].reshape(
+                2, 3, hn, wn, kh * kw))
+        got = F.hex_pool2d(x, meth, (kh, kw), (sh, sw), ceil_mode=cm,
+                           count_include_pad=cip)
+        assert np.array_equal(np.asarray(got), np.asarray(want),
+                              equal_nan=True)
+
+
+def test_adaptive_pool_matches_clipped_gather():
+    """Edge-replication padding + strided slices must equal the
+    reference's index clipping (``HexFrames.py:380-383``)."""
+    rng = np.random.default_rng(8)
+    for _ in range(15):
+        h, w = int(rng.integers(8, 48)), int(rng.integers(8, 48))
+        hn = int(rng.integers(1, max(2, h // 2)))
+        wn = int(rng.integers(1, max(2, w // 2)))
+        meth = ("max", "min", "average")[int(rng.integers(0, 3))]
+        x = rng.random((2, 3, h, w)).astype(np.float32)
+        grid_h = int(h / hn)
+        grid_w = int(w / (wn + 0.5)) if grid_h > 1 else int(w / wn)
+        if grid_h < 1 or grid_w < 1:
+            continue
+        gi, gj = np.meshgrid(np.arange(hn), np.arange(wn), indexing="ij")
+        li, lj = np.meshgrid(np.arange(grid_h), np.arange(grid_w),
+                             indexing="ij")
+        ii = np.clip((grid_h * gi)[:, :, None, None] + li[None, None],
+                     0, h - 1)
+        jj = np.clip(((gi % 2) * (grid_w // 2) + gj * grid_w)
+                     [:, :, None, None] + lj[None, None], 0, w - 1)
+        want = F._reduction(meth)(
+            jnp.asarray(x)[:, :, jnp.asarray(ii), jnp.asarray(jj)]
+            .reshape(2, 3, hn, wn, grid_h * grid_w))
+        got = F.hex_adaptive_pool2d(x, (hn, wn), meth)
+        assert np.array_equal(np.asarray(got), np.asarray(want))
+
+
 @pytest.mark.parametrize("n", range(len(ADAPTIVE_CONV_CONFIGS)))
 def test_adaptive_padding_conv_golden(g, n):
     r, s, p, d, off = ADAPTIVE_CONV_CONFIGS[n]
