@@ -35,6 +35,12 @@ from ..nn.functional import _hex_kernel_rows, _merge_phases
 __all__ = ["packed_hex_conv_pallas", "pallas_conv_applicable",
            "hex_conv_stack_pallas"]
 
+# Full-plane stack-layer kernels above this VMEM need (sized as the layer
+# call's own vmem_limit computation, bg=1) auto-route to the >VMEM banded
+# tier / XLA twin — see hex_conv_stack_pallas.  v5e VMEM is 128 MB; the
+# layer call caps its request at 110 MB.
+_STACK_VMEM_BUDGET = 100 * 2 ** 20
+
 
 def pallas_conv_applicable(c: int, co: int, stride: int, groups: int,
                            n_elements: int | None = None) -> bool:
@@ -689,6 +695,42 @@ def hex_conv_stack_pallas(x, kernels, biases=None, *, radius: int,
                 "whole-image statistics, a band sees only its rows")
         if fused:
             raise ValueError("band_rows is incompatible with fused=True")
+    else:
+        # >VMEM tier: when the full-plane layer kernel's VMEM need (sized
+        # exactly as its vmem_limit computation below) cannot fit even at
+        # bg=1, auto-route — norm-free uniform stacks to the row-banded
+        # kernel (planes stay in HBM, bands stream through VMEM); stacks
+        # with norms (whole-image GN stats cannot band) to the pure-XLA
+        # packed twin.  At sizes that DO fit, banding is a measured loss
+        # (PERF.md round-3 A/B: the per-layer HBM round-trips cost more
+        # than the VMEM pressure they relieve), so this only triggers
+        # where the full-plane kernel cannot compile at all.
+        chans = {int(x.shape[1])} | {int(k.shape[0]) for k in kernels}
+        c0 = int(x.shape[1])
+        if c0 <= 128 and 128 % c0 == 0 and x.shape[2] % 2 == 0:
+            q = 128 // c0
+            h2 = x.shape[2] // 2
+            wp = -(-x.shape[3] // q)
+            meta = _phase_meta_same(radius, dilation, q)
+            max_r0 = max(r for m in meta for ((_s, r, _sb), _) in m)
+            max_sblk = max(sb for m in meta for ((_s, _r, sb), _) in m)
+            rows_tot = 1 + h2 + max(0, max_r0 - 1)
+            cols_tot = 1 + wp + max(0, max_sblk - 1)
+            blk = rows_tot * cols_tot * 128 * x.dtype.itemsize
+            need = 4 * blk + 8 * h2 * wp * 128 + 16 * 2 ** 20
+            if need > _STACK_VMEM_BUDGET:
+                bandable = (len(chans) == 1 and not fused
+                            and all(k is None for k in norm_kinds))
+                if bandable:
+                    band_rows = min(64, h2)
+                    if batch_group is None:
+                        batch_group = 1
+                else:
+                    statics = (radius, dilation, activation,
+                               final_activation, fused, batch_group,
+                               norm_kinds, None)
+                    return _stack_xla(x, kernels, biases, norm_arrays,
+                                      statics)
     statics = (radius, dilation, activation, final_activation, fused,
                batch_group, norm_kinds, band_rows)
     return _stack_ad(x, kernels, biases, norm_arrays, statics)

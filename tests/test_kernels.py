@@ -633,3 +633,38 @@ def test_banded_stack_grads_and_guards():
             np.ones((1, 16, 8, 8), np.float32), ks[:1], radius=2,
             band_rows=4,
             norms=[("gn", 8, np.ones(16), np.zeros(16))])
+
+
+def test_stack_vmem_autoroute():
+    """Stacks whose full-plane VMEM need exceeds the budget auto-route:
+    norm-free uniform chains to the row-banded >VMEM tier, GN chains to
+    the pure-XLA packed twin — both numerically equal to the per-op
+    chain.  (Exercised by shrinking the budget; at real sizes this
+    triggers only where the full-plane kernel cannot compile.)"""
+    from unittest import mock
+    from hygrid_tpu.kernels import conv_pallas as cp
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.random((2, 16, 20, 18)), jnp.float32)
+    ks = [jnp.asarray(rng.normal(0, 0.2, (16, 16, 7)), jnp.float32)
+          for _ in range(2)]
+    gn = [("gn", 8, jnp.ones(16), jnp.zeros(16))] * 2
+
+    ref = hex_conv_stack_pallas(x, ks, None, radius=2)
+    ref_gn = hex_conv_stack_pallas(x, ks, None, radius=2, norms=gn)
+
+    calls = []
+    orig = cp._stack_impl_banded
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    with mock.patch.object(cp, "_STACK_VMEM_BUDGET", 1), \
+            mock.patch.object(cp, "_stack_impl_banded", spy):
+        got = hex_conv_stack_pallas(x, ks, None, radius=2)
+        got_gn = hex_conv_stack_pallas(x, ks, None, radius=2, norms=gn)
+    assert calls, "norm-free >VMEM stack did not take the banded tier"
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_gn), np.asarray(ref_gn),
+                               atol=1e-4)
