@@ -587,7 +587,7 @@ def _hex_window_reduce(x, reduce_fn, hn, wn, kh, kw, sh, sw, half):
     p, the source pixels form a strided grid — rows ``sh*(p + 2t) + li``,
     cols ``p*half + sw*gj + lj`` — so each (p, li, lj) is one strided
     slice; reduce per parity, then interleave the two parities' rows."""
-    b, c = x.shape[:2]
+    b, c, h, w = x.shape
     n_rows = (-(-hn // 2), hn // 2)            # parity 0 / parity 1 counts
     reduced = []
     for p in (0, 1):
@@ -595,14 +595,38 @@ def _hex_window_reduce(x, reduce_fn, hn, wn, kh, kw, sh, sw, half):
         if n_p == 0:
             reduced.append(None)
             continue
-        sls = []
-        for li in range(kh):
-            r0 = sh * p + li
-            rows = x[:, :, r0:r0 + 2 * sh * (n_p - 1) + 1:2 * sh]
-            for lj in range(kw):
-                c0 = p * half + lj
-                sls.append(rows[:, :, :, c0:c0 + sw * (wn - 1) + 1:sw])
-        win = jnp.stack(sls, axis=-1)          # (b, c, n_p, wn, kh*kw)
+        # rows -> (b, c, n_p, kh, w).  When kh <= sh the windows' row
+        # blocks tile a contiguous span, so one plain slice + reshape
+        # replaces kh strided slices (strides on the sublane dim force
+        # relayouts); the trailing overhang past h is never read back
+        # (sliced off by [:kh]), so zero-pad suffices.
+        if kh <= sh:
+            lo = sh * p
+            ext = 2 * sh * n_p
+            xr = x if lo + ext <= h else jnp.pad(
+                x, ((0, 0), (0, 0), (0, lo + ext - h), (0, 0)))
+            rows = xr[:, :, lo:lo + ext].reshape(
+                b, c, n_p, 2 * sh, w)[:, :, :, :kh]
+        else:
+            rows = jnp.stack(
+                [x[:, :, sh * p + li:sh * p + li + 2 * sh * (n_p - 1) + 1:
+                   2 * sh] for li in range(kh)], axis=3)
+        # cols -> (b, c, n_p, kh, wn, kw).  Same trick on the lane dim
+        # (where strided slices are costliest) when kw <= sw.
+        c0 = p * half
+        if kw <= sw:
+            ext = sw * wn
+            if c0 + ext > w:
+                rows = jnp.pad(
+                    rows, ((0, 0), (0, 0), (0, 0), (0, 0),
+                           (0, c0 + ext - w)))
+            cols = rows[..., c0:c0 + ext].reshape(
+                b, c, n_p, kh, wn, sw)[..., :kw]
+        else:
+            cols = jnp.stack(
+                [rows[..., c0 + lj:c0 + lj + sw * (wn - 1) + 1:sw]
+                 for lj in range(kw)], axis=-1)
+        win = jnp.moveaxis(cols, 3, 4).reshape(b, c, n_p, wn, kh * kw)
         reduced.append(reduce_fn(win))
     red_e, red_o = reduced
     if red_o is None:
