@@ -540,7 +540,7 @@ def hex_pool2d(x, method: str, kernel_size=2, stride=None, padding: int = 0,
     x = jnp.asarray(x)
     while x.ndim < 4:
         x = x[None]
-    reduce_fn = _reduction(method)
+    _reduction(method)  # validate method early (clear centroid/KeyError)
     if isinstance(kernel_size, int):
         kernel_size = (kernel_size, kernel_size)
     kh, kw = kernel_size
@@ -574,10 +574,10 @@ def hex_pool2d(x, method: str, kernel_size=2, stride=None, padding: int = 0,
             f"pooling window exceeds input: kernel {kernel_size}, stride "
             f"{stride} on ({h}, {w}) (the reference indexes out of bounds "
             "here as well, HexFrames.py:330-331)")
-    return _hex_window_reduce(x, reduce_fn, hn, wn, kh, kw, sh, sw, half)
+    return _hex_window_reduce(x, method, hn, wn, kh, kw, sh, sw, half)
 
 
-def _hex_window_reduce(x, reduce_fn, hn, wn, kh, kw, sh, sw, half):
+def _hex_window_reduce(x, method, hn, wn, kh, kw, sh, sw, half):
     """Reduce brick-lattice pooling windows — window (gi, gj) covers rows
     ``sh*gi + [0, kh)`` and cols ``(gi % 2)*half + sw*gj + [0, kw)`` —
     using STATIC STRIDED SLICES, not an advanced-indexing gather: XLA
@@ -586,8 +586,41 @@ def _hex_window_reduce(x, reduce_fn, hn, wn, kh, kw, sh, sw, half):
     stage.  For a fixed in-window offset (li, lj) and output-row parity
     p, the source pixels form a strided grid — rows ``sh*(p + 2t) + li``,
     cols ``p*half + sw*gj + lj`` — so each (p, li, lj) is one strided
-    slice; reduce per parity, then interleave the two parities' rows."""
+    slice; reduce per parity, then interleave the two parities' rows.
+
+    For max/min with non-overlapping windows (kh <= sh and kw <= sw — the
+    universal model pool) the brick lattice collapses onto XLA's native
+    ``lax.reduce_window`` instead: with kh <= sh every input row r feeds
+    exactly one output row ``r // sh``, so the odd-output-row column
+    offset can be applied by pre-shifting the rows it OWNS left by
+    ``half`` (one where-select pass) — after which the hex windows are an
+    ordinary rectangular (kh, kw)/(sh, sw) pooling grid.  The general
+    slicing path costs three whole-tensor relayout passes (parity split,
+    6-D window transpose, row re-interleave), which made pooling ~2/3 of
+    HexCNN-512² inference; reduce_window is TPU's purpose-built pooling
+    lowering.  NaNs are mapped to ∓inf up front, exactly as
+    ``max_pooling``/``min_pooling`` do per-window; max/min commute with
+    the changed reduction order, whereas 'average' stays on the
+    window-flat path — two-stage summation would reassociate
+    floating-point adds and break bit equality with the goldens."""
+    reduce_fn = _REDUCTIONS[method]
     b, c, h, w = x.shape
+    if method in ("max", "min") and kh <= sh and kw <= sw:
+        fill = -jnp.inf if method == "max" else jnp.inf
+        op = lax.max if method == "max" else lax.min
+        z = jnp.where(jnp.isnan(x), fill, x)
+        fillv = jnp.asarray(fill, z.dtype)
+        if half:
+            z_odd = jnp.pad(z[..., half:],
+                            ((0, 0), (0, 0), (0, 0), (0, half)),
+                            constant_values=fillv)
+            owner_odd = ((jnp.arange(h) // sh) % 2 == 1).reshape(1, 1, h, 1)
+            z = jnp.where(owner_odd, z_odd, z)
+        out = lax.reduce_window(z, fillv, op,
+                                window_dimensions=(1, 1, kh, kw),
+                                window_strides=(1, 1, sh, sw),
+                                padding="VALID")
+        return out[:, :, :hn, :wn]
     n_rows = (-(-hn // 2), hn // 2)            # parity 0 / parity 1 counts
     reduced = []
     for p in (0, 1):
@@ -648,7 +681,7 @@ def hex_adaptive_pool2d(x, outsize, method: str):
     x = jnp.asarray(x)
     while x.ndim < 4:
         x = x[None]
-    reduce_fn = _reduction(method)
+    _reduction(method)  # validate method early
     if isinstance(outsize, int):
         outsize = (outsize, outsize)
     hn, wn = outsize
@@ -667,7 +700,7 @@ def hex_adaptive_pool2d(x, outsize, method: str):
     if pad_b or pad_r:
         x = jnp.pad(x, ((0, 0), (0, 0), (0, pad_b), (0, pad_r)),
                     mode="edge")
-    return _hex_window_reduce(x, reduce_fn, hn, wn, grid_h, grid_w,
+    return _hex_window_reduce(x, method, hn, wn, grid_h, grid_w,
                               grid_h, grid_w, half)
 
 
