@@ -589,38 +589,45 @@ def _hex_window_reduce(x, method, hn, wn, kh, kw, sh, sw, half):
     slice; reduce per parity, then interleave the two parities' rows.
 
     For max/min with non-overlapping windows (kh <= sh and kw <= sw — the
-    universal model pool) the brick lattice collapses onto XLA's native
-    ``lax.reduce_window`` instead: with kh <= sh every input row r feeds
-    exactly one output row ``r // sh``, so the odd-output-row column
-    offset can be applied by pre-shifting the rows it OWNS left by
-    ``half`` (one where-select pass) — after which the hex windows are an
-    ordinary rectangular (kh, kw)/(sh, sw) pooling grid.  The general
-    slicing path costs three whole-tensor relayout passes (parity split,
-    6-D window transpose, row re-interleave), which made pooling ~2/3 of
-    HexCNN-512² inference; reduce_window is TPU's purpose-built pooling
-    lowering.  NaNs are mapped to ∓inf up front, exactly as
-    ``max_pooling``/``min_pooling`` do per-window; max/min commute with
-    the changed reduction order, whereas 'average' stays on the
-    window-flat path — two-stage summation would reassociate
-    floating-point adds and break bit equality with the goldens."""
+    universal model pool) a fully-fused two-stage form is used instead:
+    the parity split, the 6-D window transpose, and the final row
+    interleave each cost a whole-tensor relayout pass on TPU, which made
+    pooling ~2/3 of HexCNN-512² inference time.  Since max/min commute
+    with any reduction order, reduce rows first (contiguous reshape),
+    apply the odd-row column offset as a shift+select (one VPU pass — no
+    per-parity tensors), then reduce columns (contiguous reshape).  NaNs
+    are mapped to ∓inf up front, exactly as ``max_pooling``/``min_pooling``
+    do per-window.  'average' stays on the window-flat path: two-stage
+    summation reassociates floating-point adds and would break bit
+    equality with the reference goldens.  (``lax.reduce_window`` over
+    parity-pre-shifted rows was A/B'd against this form on v5e and LOST —
+    interleaved in-process reps: FULL HexCNN-512² 16.6–16.9 ms vs
+    14.3–14.8 ms, isolated C=64 pool ~15% slower — XLA's reduce_window
+    lowering re-materialises the shifted operand; measured refusal,
+    PERF.md pooling section.)"""
     reduce_fn = _REDUCTIONS[method]
     b, c, h, w = x.shape
     if method in ("max", "min") and kh <= sh and kw <= sw:
         fill = -jnp.inf if method == "max" else jnp.inf
-        op = lax.max if method == "max" else lax.min
+        op = jnp.max if method == "max" else jnp.min
         z = jnp.where(jnp.isnan(x), fill, x)
         fillv = jnp.asarray(fill, z.dtype)
+        ext = sh * hn
+        if ext > h:
+            z = jnp.pad(z, ((0, 0), (0, 0), (0, ext - h), (0, 0)),
+                        constant_values=fillv)
+        z = op(z[:, :, :ext].reshape(b, c, hn, sh, w)[:, :, :, :kh], axis=3)
         if half:
             z_odd = jnp.pad(z[..., half:],
                             ((0, 0), (0, 0), (0, 0), (0, half)),
                             constant_values=fillv)
-            owner_odd = ((jnp.arange(h) // sh) % 2 == 1).reshape(1, 1, h, 1)
-            z = jnp.where(owner_odd, z_odd, z)
-        out = lax.reduce_window(z, fillv, op,
-                                window_dimensions=(1, 1, kh, kw),
-                                window_strides=(1, 1, sh, sw),
-                                padding="VALID")
-        return out[:, :, :hn, :wn]
+            odd = (jnp.arange(hn) % 2 == 1).reshape(1, 1, hn, 1)
+            z = jnp.where(odd, z_odd, z)
+        ext = sw * wn
+        if ext > w:
+            z = jnp.pad(z, ((0, 0), (0, 0), (0, 0), (0, ext - w)),
+                        constant_values=fillv)
+        return op(z[..., :ext].reshape(b, c, hn, wn, sw)[..., :kw], axis=-1)
     n_rows = (-(-hn // 2), hn // 2)            # parity 0 / parity 1 counts
     reduced = []
     for p in (0, 1):
