@@ -323,7 +323,15 @@ def _stack_impl_banded(x, kernels, biases, statics):
     """Banded-layer variant of ``_stack_impl`` (norm-free, uniform width).
     See :func:`_stack_layer_kernel_banded` for the layout."""
     (radius, dilation, activation, final_activation, _fused, batch_group,
-     _norm_kinds, band_rows) = statics
+     _norm_kinds, band_rows) = statics[:8]
+    data_format = statics[8] if len(statics) > 8 else "NCHW"
+    if data_format == "NHWC":
+        # banded tier stays NCHW-native (it is the rare >VMEM fallback);
+        # adapt at the boundary
+        nchw_statics = statics[:8] + ("NCHW",)
+        out = _stack_impl_banded(jnp.moveaxis(x, -1, 1), kernels, biases,
+                                 nchw_statics)
+        return jnp.moveaxis(out, 1, -1)
     b, c, h, w = x.shape
     d = dilation
     relu = activation == "relu"
@@ -637,7 +645,8 @@ def hex_conv_stack_pallas(x, kernels, biases=None, *, radius: int,
                           fused: bool = False,
                           batch_group: int | None = None,
                           norms=None,
-                          band_rows: int | None = None):
+                          band_rows: int | None = None,
+                          data_format: str = "NCHW"):
     """A chain of 'same' hex convolutions fully in the packed domain.
 
     Packs once, runs every layer as one fused Pallas kernel (all Kronecker
@@ -667,14 +676,26 @@ def hex_conv_stack_pallas(x, kernels, biases=None, *, radius: int,
     and C <= 128, even image height, even_odd_offset 0; ``norms`` is not
     supported with ``fused=True`` (the whole-stack fusion was measured
     perf-neutral and stays norm-free).
+
+    ``data_format="NHWC"`` takes/returns (B, H, W, C): the packed plane's
+    lane layout IS (pixel-in-group-major, channel-minor), i.e. exactly
+    NHWC's (w, c) minor order, so packing from channels-last is a pure
+    reshape — the NCHW entry pays a whole-tensor ``moveaxis`` relayout
+    per stack call (measured ~1.8 ms at C=32 256^2 b=32 on v5e, more than
+    two conv layers' worth; PERF.md fixed-cost decomposition).  Model
+    stages that chain stack -> pool -> stack should stay NHWC throughout.
     """
     x = jnp.asarray(x)
     while x.ndim < 4:
         x = x[None]
+    if data_format not in ("NCHW", "NHWC"):
+        raise ValueError(f"data_format must be NCHW or NHWC, got "
+                         f"{data_format!r}")
+    nhwc = data_format == "NHWC"
     if even_odd_offset != 0:
         raise ValueError("packed stack assumes offset-0 input (the output "
                          "convention of every op in this framework)")
-    if x.shape[2] % 2:
+    if x.shape[1 if nhwc else 2] % 2:
         raise ValueError("even image height required for the packed stack")
     if activation not in ("relu", None, "none"):
         raise ValueError("supported fused activations: 'relu' or None")
@@ -705,12 +726,14 @@ def hex_conv_stack_pallas(x, kernels, biases=None, *, radius: int,
         # (PERF.md round-3 A/B: the per-layer HBM round-trips cost more
         # than the VMEM pressure they relieve), so this only triggers
         # where the full-plane kernel cannot compile at all.
-        chans = {int(x.shape[1])} | {int(k.shape[0]) for k in kernels}
-        c0 = int(x.shape[1])
-        if c0 <= 128 and 128 % c0 == 0 and x.shape[2] % 2 == 0:
+        c0 = int(x.shape[-1] if nhwc else x.shape[1])
+        hh, ww = (x.shape[1], x.shape[2]) if nhwc else (x.shape[2],
+                                                        x.shape[3])
+        chans = {c0} | {int(k.shape[0]) for k in kernels}
+        if c0 <= 128 and 128 % c0 == 0 and hh % 2 == 0:
             q = 128 // c0
-            h2 = x.shape[2] // 2
-            wp = -(-x.shape[3] // q)
+            h2 = hh // 2
+            wp = -(-ww // q)
             meta = _phase_meta_same(radius, dilation, q)
             max_r0 = max(r for m in meta for ((_s, r, _sb), _) in m)
             max_sblk = max(sb for m in meta for ((_s, _r, sb), _) in m)
@@ -728,11 +751,11 @@ def hex_conv_stack_pallas(x, kernels, biases=None, *, radius: int,
                 else:
                     statics = (radius, dilation, activation,
                                final_activation, fused, batch_group,
-                               norm_kinds, None)
+                               norm_kinds, None, data_format)
                     return _stack_xla(x, kernels, biases, norm_arrays,
                                       statics)
     statics = (radius, dilation, activation, final_activation, fused,
-               batch_group, norm_kinds, band_rows)
+               batch_group, norm_kinds, band_rows, data_format)
     return _stack_ad(x, kernels, biases, norm_arrays, statics)
 
 
@@ -798,8 +821,9 @@ def _stack_xla(x, kernels, biases, norm_arrays, statics):
     from ..nn import functional as F
     radius, dilation, activation, final_activation = statics[:4]
     norm_kinds = statics[6]
+    nhwc = len(statics) > 8 and statics[8] == "NHWC"
     relu = activation == "relu"
-    h = x
+    h = jnp.moveaxis(x, -1, 1) if nhwc else x
     L = len(kernels)
     for i, (k, bs) in enumerate(zip(kernels, biases)):
         h = F.hex_conv2d(h, k, bs, even_odd_offset=0, radius=radius,
@@ -816,7 +840,7 @@ def _stack_xla(x, kernels, biases, norm_arrays, statics):
                      + shift[None, :, None, None]).astype(h.dtype)
         if relu and (final_activation or i < L - 1):
             h = jnp.maximum(h, 0)
-    return h
+    return jnp.moveaxis(h, 1, -1) if nhwc else h
 
 
 def _stack_bwd(statics, res, g):
@@ -832,10 +856,14 @@ _stack_ad.defvjp(_stack_fwd, _stack_bwd)
 
 def _stack_impl(x, kernels, biases, norm_arrays, statics):
     (radius, dilation, activation, final_activation, fused, batch_group,
-     norm_kinds, band_rows) = statics
+     norm_kinds, band_rows) = statics[:8]
+    nhwc = len(statics) > 8 and statics[8] == "NHWC"
     if band_rows is not None:
         return _stack_impl_banded(x, kernels, biases, statics)
-    b, c, h, w = x.shape
+    if nhwc:
+        b, h, w, c = x.shape
+    else:
+        b, c, h, w = x.shape
     d = dilation
     relu = activation == "relu"
     kernels = list(kernels)
@@ -850,11 +878,16 @@ def _stack_impl(x, kernels, biases, norm_arrays, statics):
     h2 = h // 2
 
     def pack(v):
-        ci = v.shape[1]
+        # packed lane layout = (pixel-in-group major, channel minor) —
+        # exactly NHWC's (w, c) minor order, so the NHWC entry packs with
+        # a pure reshape; NCHW pays one whole-tensor moveaxis relayout
+        # (measured ~1.8 ms at C=32 256^2 b=32 — the dominant fixed cost
+        # of a short stack, PERF.md fixed-cost decomposition)
+        ci = v.shape[-1] if nhwc else v.shape[1]
         qi = 128 // ci
         wp = -(-w // qi)
         pad_w = wp * qi - w
-        vl = jnp.moveaxis(v, 1, -1)
+        vl = v if nhwc else jnp.moveaxis(v, 1, -1)
         if pad_w:
             vl = jnp.pad(vl, ((0, 0), (0, 0), (0, pad_w), (0, 0)))
         xe = vl[:, 0::2].reshape(b, h2, wp, qi * ci)
@@ -1040,4 +1073,4 @@ def _stack_impl(x, kernels, biases, norm_arrays, statics):
     ye, yo = unpack(xe), unpack(xo)
     out = jnp.zeros((b, h, w, cout), dtype)
     out = out.at[:, 0::2].set(ye).at[:, 1::2].set(yo)
-    return jnp.moveaxis(out, -1, 1)
+    return out if nhwc else jnp.moveaxis(out, -1, 1)

@@ -64,13 +64,22 @@ class HexCNN(nn.Module):
             norm_cfg = dict(type="GN", num_groups=8)
         else:
             norm_cfg = dict(type=self.norm) if self.norm else None
+        # Stacked stages run channels-last internally: the packed stack
+        # packs NHWC with a pure reshape (the NCHW entry costs a
+        # whole-tensor relayout per stage, PERF.md fixed-cost table), and
+        # the pool/global-pool ride the same layout.  One cheap moveaxis
+        # at the stem (C=3) converts; the public API stays (B, C, H, W).
+        fmt = "NHWC" if stacked else "NCHW"
+        if stacked:
+            x = jnp.moveaxis(x, 1, -1)
         for stage, width in enumerate(self.channels):
             if stacked:
                 x = HexConvStack(
                     in_channels=cin, width=width, depth=self.depth,
                     hexkernel_radius=self.radius, norm=self.norm,
                     num_groups=8, min_cells=self.stack_min_cells,
-                    dtype=self.dtype, name=f"stage{stage}")(x)
+                    data_format=fmt, dtype=self.dtype,
+                    name=f"stage{stage}")(x)
                 cin = width
             else:
                 for d in range(self.depth):
@@ -81,8 +90,9 @@ class HexCNN(nn.Module):
                         name=f"stage{stage}_conv{d}")(x, train=train)
                     cin = width
             if stage != len(self.channels) - 1:
-                x = F.hex_pool2d(x, "max", kernel_size=2, stride=2)
-        x = F.hex_global_pool2d(x, "average")
+                x = F.hex_pool2d(x, "max", kernel_size=2, stride=2,
+                                 data_format=fmt)
+        x = F.hex_global_pool2d(x, "average", data_format=fmt)
         x = nn.Dense(self.num_classes, dtype=self.dtype, name="head")(x)
         return x
 

@@ -531,16 +531,25 @@ def _reduction(method: str):
 def hex_pool2d(x, method: str, kernel_size=2, stride=None, padding: int = 0,
                even_odd_offset: int = 0, padding_mode: str = "constant",
                padding_value=0, ceil_mode: bool = False,
-               count_include_pad: bool = True):
+               count_include_pad: bool = True, data_format: str = "NCHW"):
     """Strided pooling on the brick lattice via window gather
     (``HexFrames.py:286-336``), incl. the reference's exact ceil-mode
     bookkeeping (whose ph/pw pads land on width/height respectively,
     ``HexFrames.py:294-299`` — replicated).
+
+    ``data_format="NHWC"`` pools (B, H, W, C) arrays natively (the layout
+    the packed conv stack packs from with zero transposes — model stages
+    chain in NHWC to avoid the NCHW<->NHWC relayout per stage, PERF.md);
+    the brick-lattice window math is identical, only the axes move.
     """
     x = jnp.asarray(x)
     while x.ndim < 4:
         x = x[None]
     _reduction(method)  # validate method early (clear centroid/KeyError)
+    if data_format not in ("NCHW", "NHWC"):
+        raise ValueError(f"data_format must be NCHW or NHWC, got "
+                         f"{data_format!r}")
+    nhwc = data_format == "NHWC"
     if isinstance(kernel_size, int):
         kernel_size = (kernel_size, kernel_size)
     kh, kw = kernel_size
@@ -550,17 +559,33 @@ def hex_pool2d(x, method: str, kernel_size=2, stride=None, padding: int = 0,
         stride = (stride, stride)
     sh, sw = stride
 
-    x = pad2d(x, padding, padding_mode, padding_value)
-    b, c, h, w = x.shape
+    ax_h, ax_w = (1, 2) if nhwc else (2, 3)
+    if not nhwc:
+        x = pad2d(x, padding, padding_mode, padding_value)
+    else:
+        if isinstance(padding, int):
+            l = r = t = bm = padding
+        else:
+            l, r, t, bm = padding
+        if l or r or t or bm:
+            pw = [(0, 0)] * x.ndim
+            pw[ax_h], pw[ax_w] = (t, bm), (l, r)
+            jmode = _PAD_MODES[padding_mode]
+            x = (jnp.pad(x, pw, mode="constant",
+                         constant_values=padding_value)
+                 if jmode == "constant" else jnp.pad(x, pw, mode=jmode))
+    h, w = x.shape[ax_h], x.shape[ax_w]
     hn = h // sh
     wn = (w - sw // 2 - sw) // sw + 1
     if ceil_mode:
         ph = (kh - h + hn * sh) % kh
-        pw = (kw - w + (wn * sw + sw // 2)) % kw
+        pw_ = (kw - w + (wn * sw + sw // 2)) % kw
         fill = 0.0 if count_include_pad else jnp.nan
-        x = jnp.pad(x, ((0, 0), (0, 0), (0, pw), (0, ph)),
-                    constant_values=fill)
-        b, c, h, w = x.shape
+        pads = [(0, 0)] * x.ndim
+        # reference quirk replicated: pw pads height, ph pads width
+        pads[ax_h], pads[ax_w] = (0, pw_), (0, ph)
+        x = jnp.pad(x, pads, constant_values=fill)
+        h, w = x.shape[ax_h], x.shape[ax_w]
     hn = (h - kh) // sh + 1
     wn = (w - sw // 2) // sw
 
@@ -574,10 +599,12 @@ def hex_pool2d(x, method: str, kernel_size=2, stride=None, padding: int = 0,
             f"pooling window exceeds input: kernel {kernel_size}, stride "
             f"{stride} on ({h}, {w}) (the reference indexes out of bounds "
             "here as well, HexFrames.py:330-331)")
-    return _hex_window_reduce(x, method, hn, wn, kh, kw, sh, sw, half)
+    return _hex_window_reduce(x, method, hn, wn, kh, kw, sh, sw, half,
+                              nhwc=nhwc)
 
 
-def _hex_window_reduce(x, method, hn, wn, kh, kw, sh, sw, half):
+def _hex_window_reduce(x, method, hn, wn, kh, kw, sh, sw, half,
+                       nhwc: bool = False):
     """Reduce brick-lattice pooling windows — window (gi, gj) covers rows
     ``sh*gi + [0, kh)`` and cols ``(gi % 2)*half + sw*gj + [0, kw)`` —
     using STATIC STRIDED SLICES, not an advanced-indexing gather: XLA
@@ -606,28 +633,54 @@ def _hex_window_reduce(x, method, hn, wn, kh, kw, sh, sw, half):
     lowering re-materialises the shifted operand; measured refusal,
     PERF.md pooling section.)"""
     reduce_fn = _REDUCTIONS[method]
-    b, c, h, w = x.shape
     if method in ("max", "min") and kh <= sh and kw <= sw:
+        b = x.shape[0]
+        if nhwc:
+            h, w, c = x.shape[1:]
+        else:
+            c, h, w = x.shape[1:]
+        ax_h, ax_w = (1, 2) if nhwc else (2, 3)
         fill = -jnp.inf if method == "max" else jnp.inf
         op = jnp.max if method == "max" else jnp.min
         z = jnp.where(jnp.isnan(x), fill, x)
         fillv = jnp.asarray(fill, z.dtype)
+
+        def pad_axis(v, axis, amount):
+            pads = [(0, 0)] * v.ndim
+            pads[axis] = (0, amount)
+            return jnp.pad(v, pads, constant_values=fillv)
+
         ext = sh * hn
         if ext > h:
-            z = jnp.pad(z, ((0, 0), (0, 0), (0, ext - h), (0, 0)),
-                        constant_values=fillv)
-        z = op(z[:, :, :ext].reshape(b, c, hn, sh, w)[:, :, :, :kh], axis=3)
+            z = pad_axis(z, ax_h, ext - h)
+        if nhwc:
+            z = op(z[:, :ext].reshape(b, hn, sh, w, c)[:, :, :kh], axis=2)
+        else:
+            z = op(z[:, :, :ext].reshape(b, c, hn, sh, w)[:, :, :, :kh],
+                   axis=3)
+        # z: (b, hn, w, c) NHWC / (b, c, hn, w) NCHW
         if half:
-            z_odd = jnp.pad(z[..., half:],
-                            ((0, 0), (0, 0), (0, 0), (0, half)),
-                            constant_values=fillv)
-            odd = (jnp.arange(hn) % 2 == 1).reshape(1, 1, hn, 1)
+            if nhwc:
+                z_odd = pad_axis(z[:, :, half:], ax_w, half)
+                odd = (jnp.arange(hn) % 2 == 1).reshape(1, hn, 1, 1)
+            else:
+                z_odd = pad_axis(z[..., half:], ax_w, half)
+                odd = (jnp.arange(hn) % 2 == 1).reshape(1, 1, hn, 1)
             z = jnp.where(odd, z_odd, z)
         ext = sw * wn
         if ext > w:
-            z = jnp.pad(z, ((0, 0), (0, 0), (0, 0), (0, ext - w)),
-                        constant_values=fillv)
+            z = pad_axis(z, ax_w, ext - w)
+        if nhwc:
+            return op(z[:, :, :ext].reshape(
+                b, hn, wn, sw, c)[:, :, :, :kw], axis=3)
         return op(z[..., :ext].reshape(b, c, hn, wn, sw)[..., :kw], axis=-1)
+    if nhwc:
+        # general/'average' windows: NCHW round trip (rare path; the fused
+        # max/min form above covers every model pool without a transpose)
+        out = _hex_window_reduce(jnp.moveaxis(x, -1, 1), method, hn, wn,
+                                 kh, kw, sh, sw, half)
+        return jnp.moveaxis(out, 1, -1)
+    b, c, h, w = x.shape
     n_rows = (-(-hn // 2), hn // 2)            # parity 0 / parity 1 counts
     reduced = []
     for p in (0, 1):
@@ -711,10 +764,14 @@ def hex_adaptive_pool2d(x, outsize, method: str):
                               grid_h, grid_w, half)
 
 
-def hex_global_pool2d(x, method: str):
+def hex_global_pool2d(x, method: str, data_format: str = "NCHW"):
     """Global pooling over flattened spatial dims (``HexFrames.py:402-414``)."""
     x = jnp.asarray(x)
     while x.ndim < 4:
         x = x[None]
+    if data_format == "NHWC":
+        b, c = x.shape[0], x.shape[-1]
+        flat = jnp.moveaxis(x, -1, 1).reshape(b, c, -1)
+        return _reduction(method)(flat)
     b, c = x.shape[:2]
     return _reduction(method)(x.reshape(b, c, -1))

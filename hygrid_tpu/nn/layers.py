@@ -162,6 +162,7 @@ class HexConvStack(nn.Module):
     use_bias: Union[bool, str] = "auto"
     batch_group: Optional[int] = None
     min_cells: int = 1024
+    data_format: str = "NCHW"
     dtype: Optional[jnp.dtype] = None
     param_dtype: jnp.dtype = jnp.float32
 
@@ -207,9 +208,11 @@ class HexConvStack(nn.Module):
         return math.gcd(self.num_groups, self.width)
 
     def _stack_applicable(self, x) -> bool:
+        hh, ww = ((x.shape[1], x.shape[2])
+                  if self.data_format == "NHWC" else x.shape[-2:])
         w_ok = self.width <= 128 and 128 % self.width == 0
         if not (w_ok and self.even_odd_offset == 0
-                and x.shape[-2] % 2 == 0
+                and hh % 2 == 0
                 and self.in_channels <= self.width):
             return False
         # per-batch-element packed matmul M-dim: tiny images (e.g. the
@@ -218,7 +221,7 @@ class HexConvStack(nn.Module):
         # 67k img/s when tiny stages rode the stack.  min_cells=0 forces
         # the stack (tests use it to exercise the kernel at small sizes).
         q = 128 // self.width
-        m_elem = (x.shape[-2] // 2) * (-(-x.shape[-1] // q))
+        m_elem = (hh // 2) * (-(-ww // q))
         return m_elem >= self.min_cells
 
     def __call__(self, x):
@@ -237,10 +240,13 @@ class HexConvStack(nn.Module):
             norms = [("gn", self.gn_groups, g, b)
                      for g, b in zip(self.gammas, self.betas)]
 
+        nhwc = self.data_format == "NHWC"
         if self._stack_applicable(x):
             if self.in_channels < self.width:
                 pad_c = self.width - self.in_channels
-                x = jnp.pad(x, ((0, 0), (0, pad_c), (0, 0), (0, 0)))
+                cpad = (((0, 0),) * 3 + ((0, pad_c),)) if nhwc else \
+                    ((0, 0), (0, pad_c), (0, 0), (0, 0))
+                x = jnp.pad(x, cpad)
                 kernels[0] = jnp.pad(
                     kernels[0], ((0, 0), (0, pad_c), (0, 0)))
             return hex_conv_stack_pallas(
@@ -249,11 +255,12 @@ class HexConvStack(nn.Module):
                 dilation=self.dilation,
                 activation="relu" if relu else None,
                 final_activation=self.final_activation,
-                batch_group=self.batch_group, norms=norms)
+                batch_group=self.batch_group, norms=norms,
+                data_format=self.data_format)
 
         # numerically-equal per-op fallback (off the kernel envelope)
         from ..kernels.conv_pallas import _group_norm_nchw
-        h = x
+        h = jnp.moveaxis(x, -1, 1) if nhwc else x
         for li in range(self.depth):
             h = F.hex_conv2d(
                 h, kernels[li], biases[li],
@@ -266,7 +273,7 @@ class HexConvStack(nn.Module):
                                      jnp.asarray(self.betas[li], jnp.float32))
             if relu and (self.final_activation or li < self.depth - 1):
                 h = jnp.maximum(h, 0)
-        return h
+        return jnp.moveaxis(h, 1, -1) if nhwc else h
 
 
 class HexPool2d:

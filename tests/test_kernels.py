@@ -80,6 +80,34 @@ def test_pallas_stack_no_final_activation():
     assert float(np.asarray(got).min()) < 0  # no ReLU applied
 
 
+def test_pallas_stack_nhwc_matches_nchw():
+    """data_format="NHWC" (pack = pure reshape, no moveaxis relayout —
+    PERF.md fixed-cost decomposition) must match the NCHW entry under a
+    transpose, forward AND grad, with fused GroupNorm."""
+    rng = np.random.default_rng(3)
+    x = rng.random((2, 16, 12, 20)).astype(np.float32)
+    ks = [(rng.random((16, 16, 7)) - 0.5).astype(np.float32)
+          for _ in range(2)]
+    gn = [("gn", 4, np.ones(16, np.float32), np.zeros(16, np.float32))
+          for _ in ks]
+    a = hex_conv_stack_pallas(jnp.asarray(x), ks, None, radius=2, norms=gn)
+    bt = hex_conv_stack_pallas(jnp.asarray(np.moveaxis(x, 1, -1)), ks,
+                               None, radius=2, norms=gn,
+                               data_format="NHWC")
+    assert bt.shape == (2, 12, 20, 16)
+    np.testing.assert_allclose(np.asarray(a),
+                               np.moveaxis(np.asarray(bt), -1, 1),
+                               atol=1e-5)
+    ga = jax.grad(lambda v: jnp.sum(hex_conv_stack_pallas(
+        v, ks, None, radius=2, norms=gn) ** 2))(jnp.asarray(x))
+    gb = jax.grad(lambda v: jnp.sum(hex_conv_stack_pallas(
+        v, ks, None, radius=2, norms=gn, data_format="NHWC") ** 2))(
+        jnp.asarray(np.moveaxis(x, 1, -1)))
+    np.testing.assert_allclose(np.asarray(ga),
+                               np.moveaxis(np.asarray(gb), -1, 1),
+                               atol=1e-4)
+
+
 def test_pallas_stack_guards():
     with pytest.raises(ValueError):
         hex_conv_stack_pallas(np.ones((1, 16, 9, 8)), [np.ones((16, 16, 7))],

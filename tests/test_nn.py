@@ -97,6 +97,31 @@ def test_pool_strided_slice_matches_gather():
                               equal_nan=True)
 
 
+def test_pool_nhwc_matches_nchw():
+    """data_format="NHWC" pooling (the layout model stages chain in to
+    avoid per-stage relayouts, PERF.md) must be bit-equal to the NCHW
+    path under a transpose, across methods/kernels/NaNs."""
+    rng = np.random.default_rng(11)
+    x = rng.random((2, 3, 40, 36)).astype(np.float32)
+    x[0, 1, ::6, ::5] = np.nan
+    xt = np.moveaxis(x, 1, -1)
+    for meth in ("max", "min", "average"):
+        for ks, st in [(2, 2), (3, 3), ((1, 2), (2, 3)), ((3, 2), (1, 2))]:
+            a = np.asarray(F.hex_pool2d(x, meth, ks, st))
+            b = np.asarray(F.hex_pool2d(xt, meth, ks, st,
+                                        data_format="NHWC"))
+            assert np.array_equal(a, np.moveaxis(b, -1, 1),
+                                  equal_nan=True), (meth, ks, st)
+    # ceil-mode + padding through the NHWC bookkeeping
+    a = np.asarray(F.hex_pool2d(x, "max", 3, 2, padding=1, ceil_mode=True))
+    b = np.asarray(F.hex_pool2d(xt, "max", 3, 2, padding=1, ceil_mode=True,
+                                data_format="NHWC"))
+    assert np.array_equal(a, np.moveaxis(b, -1, 1), equal_nan=True)
+    g1 = np.asarray(F.hex_global_pool2d(x, "average"))
+    g2 = np.asarray(F.hex_global_pool2d(xt, "average", data_format="NHWC"))
+    np.testing.assert_allclose(g1, g2, rtol=1e-6)
+
+
 def test_adaptive_pool_matches_clipped_gather():
     """Edge-replication padding + strided slices must equal the
     reference's index clipping (``HexFrames.py:380-383``)."""
