@@ -33,7 +33,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..nn.functional import _hex_kernel_rows, _merge_phases
 
 __all__ = ["packed_hex_conv_pallas", "pallas_conv_applicable",
-           "hex_conv_stack_pallas"]
+           "hex_conv_stack_pallas", "pack_planes", "unpack_planes",
+           "hex_packed_maxpool2", "plane_geometry"]
 
 # Full-plane stack-layer kernels above this VMEM need (sized as the layer
 # call's own vmem_limit computation, bg=1) auto-route to the >VMEM banded
@@ -436,6 +437,162 @@ def _stack_impl_banded(x, kernels, biases, statics):
 
 # ---------------------- packed-domain 'same' conv stack ----------------------
 
+def _plane_meta_margins(radius: int, d: int, q: int):
+    """(max_r0, max_sblk) over both phases of the 'same' meta — the
+    bottom/right margin sizing of the packed plane layout."""
+    meta = _phase_meta_same(radius, d, q)
+    max_r0 = max(r for m in meta for ((_s, r, _sb), _) in m)
+    max_sblk = max(sb for m in meta for ((_s, _r, sb), _) in m)
+    return max(0, max_r0 - 1), max(0, max_sblk - 1)
+
+
+def _plane_row_margin(radius: int, d: int) -> int:
+    """Bottom row margin of the packed plane layout (q-independent: row
+    deltas come from the hex kernel's rows alone)."""
+    return _plane_meta_margins(radius, d, 1)[0]
+
+
+def plane_geometry(radius: int, dilation: int, q: int, h: int, w: int):
+    """Packed-plane layout for an (h, w) image at packing q: returns
+    ``(h2, wp, rows_tot, cols_tot)`` — interior rows/packed-cols and the
+    margined plane dims (1 zero row/col at top/left, meta-sized slack at
+    bottom/right)."""
+    h2 = h // 2
+    wp = -(-w // q)
+    mb, mcr = _plane_meta_margins(radius, dilation, q)
+    return h2, wp, 1 + h2 + mb, 1 + wp + mcr
+
+
+def pack_planes(v, *, radius: int, dilation: int = 1, nhwc: bool = True):
+    """Pack an image (NHWC by default, else NCHW) into margined even/odd
+    row planes — the packed stack kernels' native I/O.  From NHWC this is
+    a pure reshape (+ zero pads); from NCHW it pays a moveaxis relayout."""
+    v = jnp.asarray(v)
+    ci = v.shape[-1] if nhwc else v.shape[1]
+    if not (ci <= 128 and 128 % ci == 0):
+        raise ValueError(f"channel width {ci} unsupported by packed planes")
+    b = v.shape[0]
+    h, w = (v.shape[1], v.shape[2]) if nhwc else (v.shape[2], v.shape[3])
+    if h % 2:
+        raise ValueError("even image height required")
+    qi = 128 // ci
+    h2, wp, rows_tot, cols_tot = plane_geometry(radius, dilation, qi, h, w)
+    pad_w = wp * qi - w
+    vl = v if nhwc else jnp.moveaxis(v, 1, -1)
+    if pad_w:
+        vl = jnp.pad(vl, ((0, 0), (0, 0), (0, pad_w), (0, 0)))
+    xe = vl[:, 0::2].reshape(b, h2, wp, qi * ci)
+    xo = vl[:, 1::2].reshape(b, h2, wp, qi * ci)
+    pads = ((0, 0), (1, rows_tot - h2 - 1), (1, cols_tot - wp - 1), (0, 0))
+    return jnp.pad(xe, pads), jnp.pad(xo, pads)
+
+
+def unpack_planes(planes, *, w: int, cout: int, radius: int,
+                  dilation: int = 1, nhwc: bool = True):
+    """Inverse of :func:`pack_planes`: margined planes -> image."""
+    xe, xo = planes
+    b = xe.shape[0]
+    h2 = xe.shape[1] - 1 - _plane_row_margin(radius, dilation)
+    qout = 128 // cout
+    wp = -(-w // qout)
+    ye = xe[:, 1:1 + h2, 1:1 + wp].reshape(b, h2, wp * qout, cout)[:, :, :w]
+    yo = xo[:, 1:1 + h2, 1:1 + wp].reshape(b, h2, wp * qout, cout)[:, :, :w]
+    out = jnp.zeros((b, 2 * h2, w, cout), xe.dtype)
+    out = out.at[:, 0::2].set(ye).at[:, 1::2].set(yo)
+    return out if nhwc else jnp.moveaxis(out, -1, 1)
+
+
+def hex_packed_maxpool2(planes, *, image_width: int, in_channels: int,
+                        out_channels: int | None = None, radius: int = 2,
+                        dilation: int = 1):
+    """2x2 / stride-2 hex max-pool DIRECTLY on margined packed planes.
+
+    The reference pool semantics (``HexFrames.py:305-327``: window
+    (gi, gj) reads rows ``2gi + {0,1}``, cols ``(gi%2) + 2gj + {0,1}``)
+    collapse beautifully in the packed even/odd-row domain:
+
+    * the window's two rows are ``even_plane[gi]`` and ``odd_plane[gi]``
+      — the row-pair reduce is ONE elementwise ``maximum(xe, xo)``, no
+      slicing at all;
+    * pooled rows re-split into planes by parity of ``gi`` (strided
+      slices on the untiled row dim);
+    * the column pair-max plus the q -> q/2 repacking for the next
+      (wider) stage collapse into two fixed 0/1 lane-selection matmuls
+      per row parity (each output lane reads exactly one source lane, so
+      the matmul is an exact gather — MXU work instead of lane
+      shuffles), with the next packed column's contribution carried by
+      one shifted operand.
+
+    Returns margined planes packed for ``out_channels`` (default
+    ``2 * in_channels`` — the usual width doubling; extra channels are
+    zero), i.e. directly consumable by the next
+    ``hex_conv_stack_pallas(..., packed_io=True)`` stage.  Max only (the
+    model pool), no-NaN data assumed.
+    """
+    xe, xo = planes
+    c = int(in_channels)
+    q = 128 // c
+    if q < 2:
+        raise ValueError("packed pool needs q >= 2 (in_channels <= 64)")
+    c2 = int(out_channels) if out_channels is not None else 2 * c
+    if not (c <= c2 <= 128 and 128 % c2 == 0):
+        raise ValueError(f"out_channels {c2} unsupported")
+    q2 = 128 // c2
+    if q2 * 2 != q:
+        raise ValueError("packed pool requires out packing q/2 "
+                         f"(in_channels {c} -> out_channels {c2})")
+    w = int(image_width)
+    h2 = xe.shape[1] - 1 - _plane_row_margin(radius, dilation)
+    hn = h2                      # pooled height = h / 2
+    if hn % 2:
+        raise ValueError("packed pool needs the pooled height even "
+                         "(plane pair symmetry)")
+    wn = (w - 1) // 2
+    wp = -(-w // q)
+    h2o, wpo, rows_tot2, cols_tot2 = plane_geometry(
+        radius, dilation, q2, hn, wn)
+
+    ie = xe[:, 1:1 + h2, 1:1 + wp]
+    io = xo[:, 1:1 + h2, 1:1 + wp]
+    rowred = jnp.maximum(ie, io)                      # (b, hn, wp, 128)
+    nxt = jnp.concatenate(
+        [rowred[:, :, 1:], jnp.zeros_like(rowred[:, :, :1])], axis=2)
+
+    import numpy as _np
+    outs = []
+    for p in (0, 1):
+        rows = rowred[:, p::2]
+        rows_n = nxt[:, p::2]
+        ys = []
+        for t in (0, 1):
+            m = _np.zeros((128, 128), _np.float32)
+            n = _np.zeros((128, 128), _np.float32)
+            for p2 in range(q2):
+                o = 2 * p2 + p + t
+                tgt = m if o < q else n
+                oq = o if o < q else o - q
+                for cc in range(c):
+                    tgt[oq * c + cc, p2 * c2 + cc] = 1.0
+            y = rows @ jnp.asarray(m, rows.dtype)
+            if n.any():
+                y = y + rows_n @ jnp.asarray(n, rows.dtype)
+            ys.append(y)
+        outs.append(jnp.maximum(ys[0], ys[1])[:, :, :wpo])
+
+    if wpo * q2 > wn:            # zero the fake tail pixels
+        mask = _np.zeros((wpo, 128), _np.float32)
+        for pc in range(wpo):
+            for p2 in range(q2):
+                if pc * q2 + p2 < wn:
+                    mask[pc, p2 * c2:p2 * c2 + c2] = 1.0
+        maskj = jnp.asarray(mask, outs[0].dtype)
+        outs = [o * maskj for o in outs]
+
+    pads = ((0, 0), (1, rows_tot2 - h2o - 1), (1, cols_tot2 - wpo - 1),
+            (0, 0))
+    return jnp.pad(outs[0], pads), jnp.pad(outs[1], pads)
+
+
 def _phase_meta_same(radius: int, d: int, q: int):
     """Static metadata for a 'same' hex conv (padding = radius - 1) applied
     directly in the packed even/odd-row domain.
@@ -646,7 +803,10 @@ def hex_conv_stack_pallas(x, kernels, biases=None, *, radius: int,
                           batch_group: int | None = None,
                           norms=None,
                           band_rows: int | None = None,
-                          data_format: str = "NCHW"):
+                          data_format: str = "NCHW",
+                          packed_io: bool = False,
+                          image_width: int | None = None,
+                          in_channels: int | None = None):
     """A chain of 'same' hex convolutions fully in the packed domain.
 
     Packs once, runs every layer as one fused Pallas kernel (all Kronecker
@@ -684,10 +844,27 @@ def hex_conv_stack_pallas(x, kernels, biases=None, *, radius: int,
     per stack call (measured ~1.8 ms at C=32 256^2 b=32 on v5e, more than
     two conv layers' worth; PERF.md fixed-cost decomposition).  Model
     stages that chain stack -> pool -> stack should stay NHWC throughout.
+
+    ``packed_io=True`` takes/returns MARGINED even/odd packed planes
+    directly — ``x`` is the ``(xe, xo)`` tuple from :func:`pack_planes`
+    (or a previous packed-domain op) and the result is the same tuple
+    form; ``image_width`` and ``in_channels`` are then required statics.
+    Chaining stack -> :func:`hex_packed_maxpool2` -> stack in this domain
+    removes the per-stage unpack/pool/pack round trip entirely.
     """
-    x = jnp.asarray(x)
-    while x.ndim < 4:
-        x = x[None]
+    if packed_io:
+        if image_width is None or in_channels is None:
+            raise ValueError("packed_io=True requires image_width and "
+                             "in_channels")
+        xe, xo = x
+        xe, xo = jnp.asarray(xe), jnp.asarray(xo)
+        x = (xe, xo)
+        batch = xe.shape[0]
+    else:
+        x = jnp.asarray(x)
+        while x.ndim < 4:
+            x = x[None]
+        batch = x.shape[0]
     if data_format not in ("NCHW", "NHWC"):
         raise ValueError(f"data_format must be NCHW or NHWC, got "
                          f"{data_format!r}")
@@ -695,7 +872,7 @@ def hex_conv_stack_pallas(x, kernels, biases=None, *, radius: int,
     if even_odd_offset != 0:
         raise ValueError("packed stack assumes offset-0 input (the output "
                          "convention of every op in this framework)")
-    if x.shape[1 if nhwc else 2] % 2:
+    if not packed_io and x.shape[1 if nhwc else 2] % 2:
         raise ValueError("even image height required for the packed stack")
     if activation not in ("relu", None, "none"):
         raise ValueError("supported fused activations: 'relu' or None")
@@ -703,12 +880,14 @@ def hex_conv_stack_pallas(x, kernels, biases=None, *, radius: int,
     if biases is None:
         biases = (None,) * len(kernels)
     biases = tuple(None if bs is None else jnp.asarray(bs) for bs in biases)
-    if batch_group is not None and x.shape[0] % batch_group:
+    if batch_group is not None and batch % batch_group:
         raise ValueError(f"batch_group {batch_group} must divide the "
-                         f"batch {x.shape[0]}")
+                         f"batch {batch}")
     norm_kinds, norm_arrays = _split_norms(norms, kernels)
     if fused and any(k is not None for k in norm_kinds):
         raise ValueError("norms are not supported with fused=True")
+    if packed_io and (band_rows is not None or fused):
+        raise ValueError("packed_io is incompatible with band_rows/fused")
     if band_rows is not None:
         if any(k is not None for k in norm_kinds):
             raise ValueError(
@@ -726,23 +905,26 @@ def hex_conv_stack_pallas(x, kernels, biases=None, *, radius: int,
         # (PERF.md round-3 A/B: the per-layer HBM round-trips cost more
         # than the VMEM pressure they relieve), so this only triggers
         # where the full-plane kernel cannot compile at all.
-        c0 = int(x.shape[-1] if nhwc else x.shape[1])
-        hh, ww = (x.shape[1], x.shape[2]) if nhwc else (x.shape[2],
-                                                        x.shape[3])
+        if packed_io:
+            c0 = int(in_channels)
+            hh = 2 * (x[0].shape[1] - 1 - _plane_row_margin(radius,
+                                                            dilation))
+            ww = int(image_width)
+            dt_size = x[0].dtype.itemsize
+        else:
+            c0 = int(x.shape[-1] if nhwc else x.shape[1])
+            hh, ww = ((x.shape[1], x.shape[2]) if nhwc
+                      else (x.shape[2], x.shape[3]))
+            dt_size = x.dtype.itemsize
         chans = {c0} | {int(k.shape[0]) for k in kernels}
         if c0 <= 128 and 128 % c0 == 0 and hh % 2 == 0:
             q = 128 // c0
-            h2 = hh // 2
-            wp = -(-ww // q)
-            meta = _phase_meta_same(radius, dilation, q)
-            max_r0 = max(r for m in meta for ((_s, r, _sb), _) in m)
-            max_sblk = max(sb for m in meta for ((_s, _r, sb), _) in m)
-            rows_tot = 1 + h2 + max(0, max_r0 - 1)
-            cols_tot = 1 + wp + max(0, max_sblk - 1)
-            blk = rows_tot * cols_tot * 128 * x.dtype.itemsize
+            h2, wp, rows_tot, cols_tot = plane_geometry(
+                radius, dilation, q, hh, ww)
+            blk = rows_tot * cols_tot * 128 * dt_size
             need = 4 * blk + 8 * h2 * wp * 128 + 16 * 2 ** 20
             if need > _STACK_VMEM_BUDGET:
-                bandable = (len(chans) == 1 and not fused
+                bandable = (len(chans) == 1 and not fused and not packed_io
                             and all(k is None for k in norm_kinds))
                 if bandable:
                     band_rows = min(64, h2)
@@ -751,11 +933,14 @@ def hex_conv_stack_pallas(x, kernels, biases=None, *, radius: int,
                 else:
                     statics = (radius, dilation, activation,
                                final_activation, fused, batch_group,
-                               norm_kinds, None, data_format)
+                               norm_kinds, None, data_format,
+                               (int(image_width), int(in_channels))
+                               if packed_io else None)
                     return _stack_xla(x, kernels, biases, norm_arrays,
                                       statics)
     statics = (radius, dilation, activation, final_activation, fused,
-               batch_group, norm_kinds, band_rows, data_format)
+               batch_group, norm_kinds, band_rows, data_format,
+               (int(image_width), int(in_channels)) if packed_io else None)
     return _stack_ad(x, kernels, biases, norm_arrays, statics)
 
 
@@ -822,8 +1007,17 @@ def _stack_xla(x, kernels, biases, norm_arrays, statics):
     radius, dilation, activation, final_activation = statics[:4]
     norm_kinds = statics[6]
     nhwc = len(statics) > 8 and statics[8] == "NHWC"
+    packed_meta = statics[9] if len(statics) > 9 else None
     relu = activation == "relu"
-    h = jnp.moveaxis(x, -1, 1) if nhwc else x
+    if packed_meta is not None:
+        # planes -> image -> chain -> planes, all in differentiable jnp:
+        # the custom VJP stays valid for packed_io
+        pw, pc = packed_meta
+        img = unpack_planes(x, w=pw, cout=pc, radius=radius,
+                            dilation=dilation, nhwc=False)
+        h = img
+    else:
+        h = jnp.moveaxis(x, -1, 1) if nhwc else x
     L = len(kernels)
     for i, (k, bs) in enumerate(zip(kernels, biases)):
         h = F.hex_conv2d(h, k, bs, even_odd_offset=0, radius=radius,
@@ -840,6 +1034,8 @@ def _stack_xla(x, kernels, biases, norm_arrays, statics):
                      + shift[None, :, None, None]).astype(h.dtype)
         if relu and (final_activation or i < L - 1):
             h = jnp.maximum(h, 0)
+    if packed_meta is not None:
+        return pack_planes(h, radius=radius, dilation=dilation, nhwc=False)
     return jnp.moveaxis(h, 1, -1) if nhwc else h
 
 
@@ -858,9 +1054,20 @@ def _stack_impl(x, kernels, biases, norm_arrays, statics):
     (radius, dilation, activation, final_activation, fused, batch_group,
      norm_kinds, band_rows) = statics[:8]
     nhwc = len(statics) > 8 and statics[8] == "NHWC"
+    packed_meta = statics[9] if len(statics) > 9 else None
     if band_rows is not None:
         return _stack_impl_banded(x, kernels, biases, statics)
-    if nhwc:
+    if packed_meta is not None:
+        # planes in / planes out: x is (xe, xo) MARGINED packed planes
+        # (the layer kernels' native layout) — no pack/unpack at all.
+        # Model pipelines chain stack -> packed pool -> stack entirely in
+        # this domain (PERF.md: the per-stage unpack->pool->pack round
+        # trip was the dominant fixed cost left after the NHWC entry).
+        w, c = packed_meta
+        b = x[0].shape[0]
+        h2 = x[0].shape[1] - 1 - _plane_row_margin(radius, dilation)
+        h = 2 * h2
+    elif nhwc:
         b, h, w, c = x.shape
     else:
         b, c, h, w = x.shape
@@ -877,43 +1084,25 @@ def _stack_impl(x, kernels, biases, norm_arrays, statics):
             raise ValueError(f"channel width {ci} unsupported by packed stack")
     h2 = h // 2
 
-    def pack(v):
-        # packed lane layout = (pixel-in-group major, channel minor) —
-        # exactly NHWC's (w, c) minor order, so the NHWC entry packs with
-        # a pure reshape; NCHW pays one whole-tensor moveaxis relayout
-        # (measured ~1.8 ms at C=32 256^2 b=32 — the dominant fixed cost
-        # of a short stack, PERF.md fixed-cost decomposition)
-        ci = v.shape[-1] if nhwc else v.shape[1]
-        qi = 128 // ci
-        wp = -(-w // qi)
-        pad_w = wp * qi - w
-        vl = v if nhwc else jnp.moveaxis(v, 1, -1)
-        if pad_w:
-            vl = jnp.pad(vl, ((0, 0), (0, 0), (0, pad_w), (0, 0)))
-        xe = vl[:, 0::2].reshape(b, h2, wp, qi * ci)
-        xo = vl[:, 1::2].reshape(b, h2, wp, qi * ci)
-        return xe, xo, wp, qi
-
-    xe, xo, wp, qi = pack(x)
-    dtype = x.dtype
-
     # uniform-width stack: every layer shares the same packing and the same
     # static margins (1 zero row top / 1 zero packed col left, slack at
     # bottom/right sized by the metas), so layer outputs are emitted in the
     # margined layout directly and chain with zero host-side repadding
-    qin0 = 128 // chans[0]
-    meta_probe = _phase_meta_same(radius, d, qin0)
-    max_sblk = max(sb for m in meta_probe for ((s, r, sb), _) in m)
-    max_r0 = max(r for m in meta_probe for ((s, r, sb), _) in m)
-    mb = max(0, max_r0 - 1)
-    mcr = max(0, max_sblk - 1)
-    rows_tot = 1 + h2 + mb
-    cols_tot = 1 + wp + mcr
-
-    def with_margins(v):
-        return jnp.pad(v, ((0, 0), (1, mb), (1, mcr), (0, 0)))
-
-    xe, xo = with_margins(xe), with_margins(xo)
+    qi = 128 // chans[0]
+    h2, wp, rows_tot, cols_tot = plane_geometry(radius, d, qi, h, w)
+    if packed_meta is not None:
+        xe, xo = x
+        if xe.shape[1:] != (rows_tot, cols_tot, 128):
+            raise ValueError(
+                f"packed planes shape {xe.shape[1:]} does not match the "
+                f"(radius={radius}, q={qi}) layout "
+                f"{(rows_tot, cols_tot, 128)}")
+        dtype = xe.dtype
+    else:
+        # pack (NHWC entry: pure reshape; NCHW pays a moveaxis relayout —
+        # measured ~1.8 ms at C=32 256^2 b=32, PERF.md fixed-cost table)
+        xe, xo = pack_planes(x, radius=radius, dilation=d, nhwc=nhwc)
+        dtype = x.dtype
 
     uniform = all(c == chans[0] for c in chans)
     if fused and uniform and len(kernels) >= 2:
@@ -1006,7 +1195,7 @@ def _stack_impl(x, kernels, biases, norm_arrays, statics):
         tail_cut = (w % qout) * cout if (w % qout) else 0
 
         layer_relu = relu and (final_activation or li < len(kernels) - 1)
-        blk_bytes = rows_tot * cols_tot * 128 * x.dtype.itemsize
+        blk_bytes = rows_tot * cols_tot * 128 * dtype.itemsize
         if batch_group is not None:
             bg = batch_group
         else:
@@ -1064,13 +1253,7 @@ def _stack_impl(x, kernels, biases, norm_arrays, statics):
         )(xe, xo, me, mo, bvec, nbvec)
         wp = wp_out
 
-    # unpack (strip margins first)
-    cout = chans[-1]
-    qout = 128 // cout
-    def unpack(v):
-        v = v[:, 1:1 + h2, 1:1 + wp]
-        return v.reshape(b, h2, wp * qout, cout)[:, :, :w]
-    ye, yo = unpack(xe), unpack(xo)
-    out = jnp.zeros((b, h, w, cout), dtype)
-    out = out.at[:, 0::2].set(ye).at[:, 1::2].set(yo)
-    return out if nhwc else jnp.moveaxis(out, -1, 1)
+    if packed_meta is not None:
+        return xe, xo
+    return unpack_planes((xe, xo), w=w, cout=chans[-1], radius=radius,
+                         dilation=d, nhwc=nhwc)

@@ -54,12 +54,69 @@ class HexCNN(nn.Module):
     stack_min_cells: int = 1024
     dtype: jnp.dtype = jnp.float32
 
+    def _packed_chain_ok(self, cin: int, h: int, w: int) -> bool:
+        """Static check that the WHOLE stage chain (stack -> pool -> stack
+        ...) can run in the packed-plane domain: doubling widths that
+        divide 128 (the packed pool repacks q -> q/2 exactly), even
+        heights at every stage (pooled height even for the plane-pair
+        split), and every stage past the ``stack_min_cells`` size gate."""
+        chs = list(self.channels)
+        if cin > chs[0] or any(c > 128 or 128 % c for c in chs):
+            return False
+        if any(b != 2 * a for a, b in zip(chs, chs[1:])):
+            return False
+        hs, ws = h, w
+        for s, c in enumerate(chs):
+            if hs % 2:
+                return False
+            q = 128 // c
+            if (hs // 2) * (-(-ws // q)) < self.stack_min_cells:
+                return False
+            if s != len(chs) - 1:
+                if (hs // 2) % 2:
+                    return False
+                hs, ws = hs // 2, (ws - 1) // 2
+        return True
+
     @nn.compact
     def __call__(self, x, train: bool = False):
         from ..nn.layers import HexConvStack
+        from ..kernels.conv_pallas import (
+            hex_packed_maxpool2, pack_planes, unpack_planes)
         x = jnp.asarray(x, self.dtype)
         cin = x.shape[1]
         stacked = self.use_stack and self.norm in ("GN", None)
+        # Fastest route: when every stage fits the packed envelope, pack
+        # ONCE at the stem and chain stack -> packed max-pool -> stack
+        # entirely in the margined-plane domain (zero per-stage layout
+        # conversions; PERF.md r3 packed-chain A/B).  Numerically equal to
+        # the stage-wise path below (tested, forward and grad).
+        if stacked and self._packed_chain_ok(cin, x.shape[2], x.shape[3]):
+            hcur, wcur = x.shape[2], x.shape[3]
+            x = jnp.moveaxis(x, 1, -1)
+            if cin < self.channels[0]:
+                x = jnp.pad(x, ((0, 0),) * 3 + ((0, self.channels[0] - cin),))
+            planes = pack_planes(x, radius=self.radius, dilation=1)
+            for stage, width in enumerate(self.channels):
+                planes = HexConvStack(
+                    in_channels=cin, width=width, depth=self.depth,
+                    hexkernel_radius=self.radius, norm=self.norm,
+                    num_groups=8, min_cells=self.stack_min_cells,
+                    data_format="NHWC", dtype=self.dtype,
+                    name=f"stage{stage}")(planes, packed_io=True,
+                                          image_width=wcur)
+                cin = width
+                if stage != len(self.channels) - 1:
+                    planes = hex_packed_maxpool2(
+                        planes, image_width=wcur, in_channels=width,
+                        out_channels=self.channels[stage + 1],
+                        radius=self.radius)
+                    hcur, wcur = hcur // 2, (wcur - 1) // 2
+            x = unpack_planes(planes, w=wcur, cout=self.channels[-1],
+                              radius=self.radius)
+            x = F.hex_global_pool2d(x, "average", data_format="NHWC")
+            return nn.Dense(self.num_classes, dtype=self.dtype,
+                            name="head")(x)
         if self.norm == "GN":
             norm_cfg = dict(type="GN", num_groups=8)
         else:

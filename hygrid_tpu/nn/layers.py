@@ -224,8 +224,38 @@ class HexConvStack(nn.Module):
         m_elem = (hh // 2) * (-(-ww // q))
         return m_elem >= self.min_cells
 
-    def __call__(self, x):
+    def __call__(self, x, *, packed_io: bool = False,
+                 image_width: Optional[int] = None):
         from ..kernels.conv_pallas import hex_conv_stack_pallas
+        if packed_io:
+            # x is the (xe, xo) margined-plane pair, packed at
+            # q = 128 // width (zero extra channel slots when
+            # in_channels < width — e.g. straight out of
+            # hex_packed_maxpool2).  Whole model stages chain in this
+            # domain with no per-stage pack/unpack (PERF.md r3).
+            if image_width is None:
+                raise ValueError("packed_io=True requires image_width")
+            dtype = self.dtype or x[0].dtype
+            planes = tuple(jnp.asarray(p, dtype) for p in x)
+            kernels = [jnp.asarray(k, dtype) for k in self.kernels]
+            if self.in_channels < self.width:
+                kernels[0] = jnp.pad(
+                    kernels[0],
+                    ((0, 0), (0, self.width - self.in_channels), (0, 0)))
+            biases = ([jnp.asarray(b, dtype) for b in self.biases]
+                      if self.with_bias else None)
+            norms = None
+            if self.norm == "GN":
+                norms = [("gn", self.gn_groups, g, b)
+                         for g, b in zip(self.gammas, self.betas)]
+            return hex_conv_stack_pallas(
+                planes, kernels, biases, radius=self.hexkernel_radius,
+                even_odd_offset=0, dilation=self.dilation,
+                activation="relu" if self.activation == "relu" else None,
+                final_activation=self.final_activation,
+                batch_group=self.batch_group, norms=norms,
+                packed_io=True, image_width=image_width,
+                in_channels=self.width)
         x = jnp.asarray(x)
         while x.ndim < 4:
             x = x[None]
