@@ -626,12 +626,12 @@ def _phase_meta_same(radius: int, d: int, q: int):
     return build(c0e, 0), build(c0o, 1)
 
 
-def _stack_layer_kernel(xe_ref, xo_ref, me_ref, mo_ref, be_ref, nb_ref,
-                        oute_ref, outo_ref, *, meta_e, meta_o, h2, wp_out,
+def _stack_layer_kernel(*refs, meta_e, meta_o, h2, wp_out,
                         relu: bool, has_bias: bool, tail_cut: int,
                         bg: int = 1, norm: str | None = None,
                         gn_groups: int = 1, c_out: int = 0,
-                        n_pixels: int = 0, eps: float = 1e-5):
+                        n_pixels: int = 0, eps: float = 1e-5,
+                        split: bool = False):
     """One packed-domain 'same' layer, IN-PLACE (``input_output_aliases``
     maps xe->oute / xo->outo).  Inputs carry a 1-row/1-packed-col zero
     margin (indices in ``meta`` are pre-shifted); because the out refs
@@ -653,7 +653,20 @@ def _stack_layer_kernel(xe_ref, xo_ref, me_ref, mo_ref, be_ref, nb_ref,
       norm).
     * ``"affine"`` — per-channel ``x * scale + shift`` (folded
       inference-time BatchNorm; ``nb_ref = [scale_tiled, shift_tiled]``).
+
+    ``split=True`` is the fused concat-input layer: two same-geometry
+    input plane pairs (A, B) and two Kronecker matrix sets, computing
+    ``conv(concat(A, B), K) = conv(A, Ka) + conv(B, Kb)`` without ever
+    materialising the concatenation (decoder skip-join stages,
+    PERF.md r3).  Output aliases the A planes; B is read-only.
     """
+    if split:
+        (xe_ref, xo_ref, xe2_ref, xo2_ref, me_ref, mo_ref, me2_ref,
+         mo2_ref, be_ref, nb_ref, oute_ref, outo_ref) = refs
+    else:
+        (xe_ref, xo_ref, me_ref, mo_ref, be_ref, nb_ref,
+         oute_ref, outo_ref) = refs
+        xe2_ref = xo2_ref = me2_ref = mo2_ref = None
     lanes = oute_ref.shape[-1]
 
     def keep_mask(dt):
@@ -662,13 +675,19 @@ def _stack_layer_kernel(xe_ref, xo_ref, me_ref, mo_ref, be_ref, nb_ref,
         lane_ids = lax.broadcasted_iota(jnp.int32, (wp_out, lanes), 1)
         return (~((col_ids == wp_out - 1) & (lane_ids >= tail_cut))).astype(dt)
 
-    def accum(meta, mref):
+    def accum(meta, mref, m2ref):
         acc = jnp.zeros((bg * h2 * wp_out, lanes), jnp.float32)
         for idx, ((src, r0, sblk), _) in enumerate(meta):
             ref = xe_ref if src == 0 else xo_ref
             blk = ref[0:bg, r0:r0 + h2, sblk:sblk + wp_out, :]
             acc = acc + jnp.dot(blk.reshape(bg * h2 * wp_out, blk.shape[-1]),
                                 mref[idx], preferred_element_type=jnp.float32)
+            if split:
+                ref2 = xe2_ref if src == 0 else xo2_ref
+                blk2 = ref2[0:bg, r0:r0 + h2, sblk:sblk + wp_out, :]
+                acc = acc + jnp.dot(
+                    blk2.reshape(bg * h2 * wp_out, blk2.shape[-1]),
+                    m2ref[idx], preferred_element_type=jnp.float32)
         if has_bias:
             acc = acc + be_ref[0, :].astype(jnp.float32)
         return acc.reshape(bg, h2, wp_out, lanes)
@@ -676,19 +695,19 @@ def _stack_layer_kernel(xe_ref, xo_ref, me_ref, mo_ref, be_ref, nb_ref,
     if norm is None:
         # no cross-phase coupling: run phases sequentially (one f32 acc
         # live at a time — the VMEM shape the r2 numbers were measured at)
-        def run_phase(meta, mref):
-            out = accum(meta, mref)
+        def run_phase(meta, mref, m2ref):
+            out = accum(meta, mref, m2ref)
             if relu:
                 out = jnp.maximum(out, 0.0)
             if tail_cut:
                 out = out * keep_mask(out.dtype)[None, None]
             return out
 
-        oe = run_phase(meta_e, me_ref)
-        oo = run_phase(meta_o, mo_ref)
+        oe = run_phase(meta_e, me_ref, me2_ref)
+        oo = run_phase(meta_o, mo_ref, mo2_ref)
     else:
-        acc_e = accum(meta_e, me_ref)
-        acc_o = accum(meta_o, mo_ref)
+        acc_e = accum(meta_e, me_ref, me2_ref)
+        acc_o = accum(meta_o, mo_ref, mo2_ref)
         if tail_cut:
             km = keep_mask(jnp.float32)[None, None]
             acc_e = acc_e * km
@@ -806,7 +825,8 @@ def hex_conv_stack_pallas(x, kernels, biases=None, *, radius: int,
                           data_format: str = "NCHW",
                           packed_io: bool = False,
                           image_width: int | None = None,
-                          in_channels: int | None = None):
+                          in_channels: int | None = None,
+                          extra_input=None):
     """A chain of 'same' hex convolutions fully in the packed domain.
 
     Packs once, runs every layer as one fused Pallas kernel (all Kronecker
@@ -851,7 +871,23 @@ def hex_conv_stack_pallas(x, kernels, biases=None, *, radius: int,
     form; ``image_width`` and ``in_channels`` are then required statics.
     Chaining stack -> :func:`hex_packed_maxpool2` -> stack in this domain
     removes the per-stage unpack/pool/pack round trip entirely.
+
+    ``extra_input`` — a second input image B with the same batch/spatial
+    shape as ``x``: the chain is applied to the CHANNEL CONCATENATION
+    ``concat([x, extra_input])``, i.e. ``kernels[0]`` has
+    ``C_x + C_extra`` input channels, but the concatenation is never
+    materialised — layer 0 runs as the fused
+    ``conv(A, Ka) + conv(B, Kb)`` split inside the Pallas kernel (the
+    decoder skip-join pattern: upsample + skip -> 2W -> W conv).  The
+    Pallas path engages when both inputs have the uniform stack width
+    (``C_x == C_extra == Cout`` — pad channels to width like the model
+    layer does); other splits fall back to the equivalent XLA chain.
+    Incompatible with ``packed_io``/``fused``/``band_rows``.
     """
+    split = extra_input is not None
+    if split and (packed_io or fused or band_rows is not None):
+        raise ValueError("extra_input is incompatible with packed_io/"
+                         "fused/band_rows")
     if packed_io:
         if image_width is None or in_channels is None:
             raise ValueError("packed_io=True requires image_width and "
@@ -876,6 +912,16 @@ def hex_conv_stack_pallas(x, kernels, biases=None, *, radius: int,
         raise ValueError("even image height required for the packed stack")
     if activation not in ("relu", None, "none"):
         raise ValueError("supported fused activations: 'relu' or None")
+    x2 = None
+    if split:
+        x2 = jnp.asarray(extra_input)
+        while x2.ndim < 4:
+            x2 = x2[None]
+        sp = (slice(1, 3) if nhwc else slice(2, 4))
+        if x2.shape[0] != batch or x2.shape[sp] != x.shape[sp]:
+            raise ValueError(
+                f"extra_input batch/spatial shape {x2.shape} does not "
+                f"match x {x.shape}")
     kernels = tuple(jnp.asarray(k) for k in kernels)
     if biases is None:
         biases = (None,) * len(kernels)
@@ -917,14 +963,26 @@ def hex_conv_stack_pallas(x, kernels, biases=None, *, radius: int,
                       else (x.shape[2], x.shape[3]))
             dt_size = x.dtype.itemsize
         chans = {c0} | {int(k.shape[0]) for k in kernels}
+        if split:
+            c0b = int(x2.shape[-1 if nhwc else 1])
+            # the fused split layer requires both inputs at the uniform
+            # stack width; other splits run the equivalent XLA chain
+            if not (c0b == c0 and len(chans) == 1):
+                statics = (radius, dilation, activation, final_activation,
+                           fused, batch_group, norm_kinds, None,
+                           data_format, None, True)
+                return _stack_xla((x, x2), kernels, biases, norm_arrays,
+                                  statics)
         if c0 <= 128 and 128 % c0 == 0 and hh % 2 == 0:
             q = 128 // c0
             h2, wp, rows_tot, cols_tot = plane_geometry(
                 radius, dilation, q, hh, ww)
             blk = rows_tot * cols_tot * 128 * dt_size
-            need = 4 * blk + 8 * h2 * wp * 128 + 16 * 2 ** 20
+            need = ((6 if split else 4) * blk + 8 * h2 * wp * 128
+                    + 16 * 2 ** 20)
             if need > _STACK_VMEM_BUDGET:
                 bandable = (len(chans) == 1 and not fused and not packed_io
+                            and not split
                             and all(k is None for k in norm_kinds))
                 if bandable:
                     band_rows = min(64, h2)
@@ -935,13 +993,15 @@ def hex_conv_stack_pallas(x, kernels, biases=None, *, radius: int,
                                final_activation, fused, batch_group,
                                norm_kinds, None, data_format,
                                (int(image_width), int(in_channels))
-                               if packed_io else None)
-                    return _stack_xla(x, kernels, biases, norm_arrays,
-                                      statics)
+                               if packed_io else None, split)
+                    return _stack_xla((x, x2) if split else x, kernels,
+                                      biases, norm_arrays, statics)
     statics = (radius, dilation, activation, final_activation, fused,
                batch_group, norm_kinds, band_rows, data_format,
-               (int(image_width), int(in_channels)) if packed_io else None)
-    return _stack_ad(x, kernels, biases, norm_arrays, statics)
+               (int(image_width), int(in_channels)) if packed_io else None,
+               split)
+    return _stack_ad((x, x2) if split else x, kernels, biases, norm_arrays,
+                     statics)
 
 
 def _split_norms(norms, kernels):
@@ -1008,8 +1068,16 @@ def _stack_xla(x, kernels, biases, norm_arrays, statics):
     norm_kinds = statics[6]
     nhwc = len(statics) > 8 and statics[8] == "NHWC"
     packed_meta = statics[9] if len(statics) > 9 else None
+    split = len(statics) > 10 and statics[10]
     relu = activation == "relu"
-    if packed_meta is not None:
+    if split:
+        # reference semantics of extra_input: the chain applied to the
+        # channel concatenation (the fused kernel never materialises it)
+        a, bb = x
+        if nhwc:
+            a, bb = jnp.moveaxis(a, -1, 1), jnp.moveaxis(bb, -1, 1)
+        h = jnp.concatenate([a, bb], axis=1)
+    elif packed_meta is not None:
         # planes -> image -> chain -> planes, all in differentiable jnp:
         # the custom VJP stays valid for packed_io
         pw, pc = packed_meta
@@ -1055,8 +1123,12 @@ def _stack_impl(x, kernels, biases, norm_arrays, statics):
      norm_kinds, band_rows) = statics[:8]
     nhwc = len(statics) > 8 and statics[8] == "NHWC"
     packed_meta = statics[9] if len(statics) > 9 else None
+    split = len(statics) > 10 and statics[10]
     if band_rows is not None:
         return _stack_impl_banded(x, kernels, biases, statics)
+    x_b = None
+    if split:
+        x, x_b = x
     if packed_meta is not None:
         # planes in / planes out: x is (xe, xo) MARGINED packed planes
         # (the layer kernels' native layout) — no pack/unpack at all.
@@ -1103,6 +1175,8 @@ def _stack_impl(x, kernels, biases, norm_arrays, statics):
         # measured ~1.8 ms at C=32 256^2 b=32, PERF.md fixed-cost table)
         xe, xo = pack_planes(x, radius=radius, dilation=d, nhwc=nhwc)
         dtype = x.dtype
+    if split:
+        xe2, xo2 = pack_planes(x_b, radius=radius, dilation=d, nhwc=nhwc)
 
     uniform = all(c == chans[0] for c in chans)
     if fused and uniform and len(kernels) >= 2:
@@ -1175,8 +1249,20 @@ def _stack_impl(x, kernels, biases, norm_arrays, statics):
         wp_out = -(-w // qout)
         meta_e, meta_o = _phase_meta_same(radius, d, qin)
 
-        me = _assemble_mats(kern, meta_e, qin, cin, cout, dtype)
-        mo = _assemble_mats(kern, meta_o, qin, cin, cout, dtype)
+        is_split = split and li == 0
+        if is_split:
+            if int(kern.shape[1]) != 2 * cin:
+                raise ValueError(
+                    f"split layer-0 kernel needs {2 * cin} input channels "
+                    f"(both halves at the stack width), got {kern.shape[1]}")
+            ka, kb = kern[:, :cin], kern[:, cin:]
+        else:
+            ka, kb = kern, None
+        me = _assemble_mats(ka, meta_e, qin, cin, cout, dtype)
+        mo = _assemble_mats(ka, meta_o, qin, cin, cout, dtype)
+        if is_split:
+            me2 = _assemble_mats(kb, meta_e, qin, cin, cout, dtype)
+            mo2 = _assemble_mats(kb, meta_o, qin, cin, cout, dtype)
         has_bias = biases[li] is not None
         bvec = (jnp.tile(biases[li], qout) if has_bias
                 else jnp.zeros((qout * cout,), dtype))[None]
@@ -1213,24 +1299,38 @@ def _stack_impl(x, kernels, biases, norm_arrays, statics):
             _stack_layer_kernel, meta_e=meta_e, meta_o=meta_o, h2=h2,
             wp_out=wp_out, relu=layer_relu, has_bias=has_bias,
             tail_cut=tail_cut, bg=bg, norm=norm,
-            gn_groups=gn_groups or 1, c_out=cout, n_pixels=h * w)
+            gn_groups=gn_groups or 1, c_out=cout, n_pixels=h * w,
+            split=is_split)
+        plane_spec = pl.BlockSpec((bg, rows_tot, cols_tot, 128),
+                                  lambda i: (i, 0, 0, 0),
+                                  memory_space=pltpu.VMEM)
+        mats_e_spec = pl.BlockSpec((len(meta_e), 128, qout * cout),
+                                   lambda i: (0, 0, 0),
+                                   memory_space=pltpu.VMEM)
+        mats_o_spec = pl.BlockSpec((len(meta_o), 128, qout * cout),
+                                   lambda i: (0, 0, 0),
+                                   memory_space=pltpu.VMEM)
+        in_specs = [plane_spec, plane_spec]
+        inputs = [xe, xo]
+        if is_split:
+            in_specs += [plane_spec, plane_spec]
+            inputs += [xe2, xo2]
+        in_specs += [mats_e_spec, mats_o_spec]
+        inputs += [me, mo]
+        if is_split:
+            in_specs += [mats_e_spec, mats_o_spec]
+            inputs += [me2, mo2]
+        in_specs += [
+            pl.BlockSpec((1, qout * cout), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, qout * cout), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        inputs += [bvec, nbvec]
         xe, xo = pl.pallas_call(
             kfn,
             grid=(b // bg,),
-            in_specs=[
-                pl.BlockSpec((bg, rows_tot, cols_tot, 128),
-                             lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((bg, rows_tot, cols_tot, 128),
-                             lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((len(meta_e), 128, qout * cout),
-                             lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((len(meta_o), 128, qout * cout),
-                             lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, qout * cout), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((2, qout * cout), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=[
                 pl.BlockSpec((bg, rows_tot, cols_tot, 128),
                              lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
@@ -1246,11 +1346,13 @@ def _stack_impl(x, kernels, biases, norm_arrays, statics):
                 vmem_limit_bytes=int(min(110 * 2 ** 20, max(
                     28 * 2 ** 20,
                     # aliased block pair (double-buffered) + f32 phase accs
+                    # + the read-only B planes when split
                     # + generous slack for Mosaic temporaries
-                    4 * blk_bytes * bg + 8 * bg * h2 * wp_out * 128
+                    (6 if is_split else 4) * blk_bytes * bg
+                    + 8 * bg * h2 * wp_out * 128
                     + 16 * 2 ** 20)))),
             interpret=jax.default_backend() != "tpu",
-        )(xe, xo, me, mo, bvec, nbvec)
+        )(*inputs)
         wp = wp_out
 
     if packed_meta is not None:

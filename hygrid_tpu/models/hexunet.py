@@ -92,8 +92,11 @@ class HexUNet(nn.Module):
     With ``norm`` in (``"GN"``, ``None``) and ``use_stack=True`` (default)
     each conv stage runs as one :class:`~hygrid_tpu.nn.layers.HexConvStack`
     — the whole conv->GN->ReLU chain on the packed-domain Pallas kernel
-    (VERDICT r2 item 1); ``depth`` sets conv layers per stage (classic
-    UNets use 2).  Other norms fall back to chained HexConvModules.
+    (VERDICT r2 item 1); decoder skip-join stages ride the same kernel via
+    the fused concat split (``extra=``: conv(up, Ka) + conv(skip, Kb),
+    no 2W concat ever materialised); ``depth`` sets conv layers per stage
+    (classic UNets use 2).  Other norms fall back to chained
+    HexConvModules.
     """
 
     num_classes: int
@@ -150,10 +153,19 @@ class HexUNet(nn.Module):
                                             name=f"up{i}")(x)
             skip = skips.pop()
             x = _crop_or_pad_to(x, skip.shape[-2:])
-            x = jnp.concatenate([x, skip], axis=1)
-            # decoder stages halve channels (2*width -> width): off the
-            # uniform-width stack envelope, so they chain HexConvModules
-            x = stage(x, width * 2, width, f"dec{i}")
+            if stacked:
+                # skip-join stage: conv(concat(up, skip)) runs as the
+                # fused conv(up, Ka) + conv(skip, Kb) split inside the
+                # packed stack kernel — the 2W concatenation is never
+                # materialised (HexConvStack extra=, PERF.md r3)
+                x = HexConvStack(
+                    in_channels=2 * width, width=width, depth=self.depth,
+                    hexkernel_radius=self.radius, norm=self.norm,
+                    num_groups=8, min_cells=self.stack_min_cells,
+                    dtype=self.dtype, name=f"dec{i}")(x, extra=skip)
+            else:
+                x = jnp.concatenate([x, skip], axis=1)
+                x = stage(x, width * 2, width, f"dec{i}")
             cin = width
 
         head = nn.Dense(self.num_classes, dtype=self.dtype, name="head")

@@ -225,8 +225,10 @@ class HexConvStack(nn.Module):
         return m_elem >= self.min_cells
 
     def __call__(self, x, *, packed_io: bool = False,
-                 image_width: Optional[int] = None):
+                 image_width: Optional[int] = None, extra=None):
         from ..kernels.conv_pallas import hex_conv_stack_pallas
+        if extra is not None:
+            return self._call_split(x, extra)
         if packed_io:
             # x is the (xe, xo) margined-plane pair, packed at
             # q = 128 // width (zero extra channel slots when
@@ -289,20 +291,74 @@ class HexConvStack(nn.Module):
                 data_format=self.data_format)
 
         # numerically-equal per-op fallback (off the kernel envelope)
-        from ..kernels.conv_pallas import _group_norm_nchw
         h = jnp.moveaxis(x, -1, 1) if nhwc else x
+        h = self._per_op_chain(h, kernels, biases)
+        return jnp.moveaxis(h, 1, -1) if nhwc else h
+
+    def _per_op_chain(self, h, kernels, biases):
+        """The numerically-equal per-op chain on NCHW data (off-envelope
+        fallback of both the plain and the split entry)."""
+        from ..kernels.conv_pallas import _group_norm_nchw
+        relu = self.activation == "relu"
         for li in range(self.depth):
             h = F.hex_conv2d(
                 h, kernels[li], biases[li],
                 even_odd_offset=self.even_odd_offset if li == 0 else 0,
                 radius=self.hexkernel_radius, padding=self.hexkernel_radius - 1,
                 dilation=self.dilation, impl="auto")
-            if norms is not None:
+            if self.norm == "GN":
                 h = _group_norm_nchw(h, self.gn_groups,
                                      jnp.asarray(self.gammas[li], jnp.float32),
                                      jnp.asarray(self.betas[li], jnp.float32))
             if relu and (self.final_activation or li < self.depth - 1):
                 h = jnp.maximum(h, 0)
+        return h
+
+    def _call_split(self, x, extra):
+        """Skip-join stage: the chain applied to the channel concatenation
+        ``concat([x, extra])`` (``in_channels`` counts BOTH inputs — the
+        UNet decoder's upsample+skip -> 2W -> W stage).  When both halves
+        carry exactly ``width`` channels the concat is never materialised:
+        layer 0 runs as the fused ``conv(A, Ka) + conv(B, Kb)`` split
+        inside the packed Pallas kernel (``extra_input=``)."""
+        from ..kernels.conv_pallas import hex_conv_stack_pallas
+        nhwc = self.data_format == "NHWC"
+        cax = -1 if nhwc else 1
+        x = jnp.asarray(x)
+        extra = jnp.asarray(extra)
+        ca, cb = x.shape[cax], extra.shape[cax]
+        if ca + cb != self.in_channels:
+            raise ValueError(
+                f"split inputs carry {ca}+{cb} channels; the stage was "
+                f"built for in_channels={self.in_channels}")
+        dtype = self.dtype or x.dtype
+        x = x.astype(dtype)
+        extra = extra.astype(dtype)
+        kernels = [jnp.asarray(k, dtype) for k in self.kernels]
+        biases = ([jnp.asarray(b, dtype) for b in self.biases]
+                  if self.with_bias else [None] * self.depth)
+        norms = None
+        if self.norm == "GN":
+            norms = [("gn", self.gn_groups, g, b)
+                     for g, b in zip(self.gammas, self.betas)]
+        hh = x.shape[1 if nhwc else 2]
+        ww = x.shape[2 if nhwc else 3]
+        w_ok = self.width <= 128 and 128 % self.width == 0
+        m_elem = (hh // 2) * (-(-ww // (128 // self.width)) if w_ok else 0)
+        if (w_ok and ca == cb == self.width and hh % 2 == 0
+                and self.even_odd_offset == 0
+                and m_elem >= self.min_cells):
+            return hex_conv_stack_pallas(
+                x, kernels, biases if self.with_bias else None,
+                radius=self.hexkernel_radius, even_odd_offset=0,
+                dilation=self.dilation,
+                activation="relu" if self.activation == "relu" else None,
+                final_activation=self.final_activation,
+                batch_group=self.batch_group, norms=norms,
+                data_format=self.data_format, extra_input=extra)
+        h = jnp.concatenate([x, extra], axis=cax)
+        h = jnp.moveaxis(h, -1, 1) if nhwc else h
+        h = self._per_op_chain(h, kernels, biases)
         return jnp.moveaxis(h, 1, -1) if nhwc else h
 
 

@@ -566,3 +566,69 @@ class TestShardedResampleFastPath:
             x, mesh, "rect_to_hex", (18, 12), "bilinear"))
         want = np.asarray(hg.rect_to_hex_resample(x, (18, 12), "bilinear"))
         np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+class TestSplitStackDecoder:
+    """The fused concat-split stack stage (HexConvStack extra=) and its
+    HexUNet decoder wiring: fast path == fallback on identical params."""
+
+    def test_split_stage_fast_equals_fallback(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from hygrid_tpu.nn.layers import HexConvStack
+
+        rng = np.random.default_rng(3)
+        a = jnp.asarray(rng.random((2, 32, 12, 13)), jnp.float32)
+        b = jnp.asarray(rng.random((2, 32, 12, 13)), jnp.float32)
+        kw = dict(in_channels=64, width=32, depth=2, norm="GN")
+        fast = HexConvStack(min_cells=0, **kw)
+        slow = HexConvStack(min_cells=10 ** 9, **kw)
+        p = fast.init(jax.random.key(0), a, extra=b)
+        np.testing.assert_allclose(
+            np.asarray(fast.apply(p, a, extra=b)),
+            np.asarray(slow.apply(p, a, extra=b)),
+            rtol=2e-4, atol=2e-4)
+
+    def test_split_stage_rejects_wrong_total(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        import pytest
+        from hygrid_tpu.nn.layers import HexConvStack
+
+        a = jnp.zeros((1, 16, 8, 8), jnp.float32)
+        m = HexConvStack(in_channels=64, width=32, depth=1)
+        with pytest.raises(ValueError, match="in_channels"):
+            m.init(jax.random.key(0), a, extra=a)
+
+    def test_hexunet_split_decoder_equals_fallback(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from hygrid_tpu.models import HexUNet
+
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(rng.random((1, 3, 16, 16)), jnp.float32)
+        kw = dict(num_classes=3, widths=(16, 32), depth=1, norm="GN")
+        fast = HexUNet(stack_min_cells=0, **kw)
+        slow = HexUNet(stack_min_cells=10 ** 9, **kw)
+        p = fast.init(jax.random.key(1), x)
+        np.testing.assert_allclose(
+            np.asarray(fast.apply(p, x)), np.asarray(slow.apply(p, x)),
+            rtol=3e-4, atol=3e-4)
+
+    def test_hexunet_split_decoder_grads_finite(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from hygrid_tpu.models import HexUNet
+
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.random((1, 3, 16, 16)), jnp.float32)
+        m = HexUNet(num_classes=3, widths=(16, 32), depth=1, norm="GN",
+                    stack_min_cells=0)
+        p = m.init(jax.random.key(2), x)
+        g = jax.grad(lambda pp: jnp.sum(m.apply(pp, x) ** 2))(p)
+        for leaf in jax.tree.leaves(g):
+            assert np.all(np.isfinite(np.asarray(leaf)))

@@ -167,3 +167,106 @@ def test_packed_chain_matches_image_chain():
     for a, b in zip(ga, gb):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-3)
+
+
+def _split_oracle(a, b, kernels, biases, norms_params, r):
+    """Concat + per-op chain: the reference semantics of ``extra_input``."""
+    from hygrid_tpu.kernels.conv_pallas import _group_norm_nchw
+    h = jnp.concatenate([a, b], axis=1)
+    for i, k in enumerate(kernels):
+        h = F.hex_conv2d(h, jnp.asarray(k),
+                         None if biases is None else jnp.asarray(biases[i]),
+                         even_odd_offset=0, radius=r, padding=r - 1,
+                         impl="auto")
+        if norms_params is not None:
+            gam, bet = norms_params[i]
+            h = _group_norm_nchw(h, 8, jnp.asarray(gam), jnp.asarray(bet))
+        h = jnp.maximum(h, 0)
+    return h
+
+
+@pytest.mark.parametrize("c,h,w,gn", [
+    (32, 12, 13, True),   # ragged packed tail
+    (16, 8, 16, False),
+    (64, 10, 9, True),
+])
+def test_split_input_stack_matches_concat_chain(c, h, w, gn):
+    """``extra_input=``: the fused conv(A,Ka)+conv(B,Kb) layer equals the
+    chain on the materialised channel concatenation, forward and grad
+    (the UNet decoder skip-join pattern)."""
+    r = 2
+    kn = F.hex_kernel_num(r)
+    rng = np.random.default_rng(c + h + w)
+    a = jnp.asarray(rng.standard_normal((2, c, h, w)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((2, c, h, w)), jnp.float32)
+    k0 = jnp.asarray(0.1 * rng.standard_normal((c, 2 * c, kn)), jnp.float32)
+    k1 = jnp.asarray(0.1 * rng.standard_normal((c, c, kn)), jnp.float32)
+    bs = [jnp.asarray(rng.standard_normal(c), jnp.float32)
+          for _ in range(2)]
+    norms = norms_params = None
+    if gn:
+        norms_params = [(rng.standard_normal(c).astype(np.float32) * 0.1 + 1,
+                         rng.standard_normal(c).astype(np.float32) * 0.1)
+                        for _ in range(2)]
+        norms = [("gn", 8, jnp.asarray(g), jnp.asarray(be))
+                 for g, be in norms_params]
+
+    def fused(a_, b_, k0_):
+        return hex_conv_stack_pallas(a_, [k0_, k1], bs, radius=r,
+                                     norms=norms, extra_input=b_)
+
+    ref = _split_oracle(a, b, [k0, k1], bs, norms_params, r)
+    np.testing.assert_allclose(np.asarray(fused(a, b, k0)), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+    ga = jax.grad(lambda *t: jnp.sum(fused(*t) ** 2),
+                  argnums=(0, 1, 2))(a, b, k0)
+    gb = jax.grad(
+        lambda a_, b_, k0_: jnp.sum(
+            _split_oracle(a_, b_, [k0_, k1], bs, norms_params, r) ** 2),
+        argnums=(0, 1, 2))(a, b, k0)
+    for x_, y_ in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(x_), np.asarray(y_),
+                                   rtol=1e-3, atol=1e-3)
+
+
+def test_split_input_stack_nhwc_and_uneven_fallback():
+    r, c, h, w = 2, 32, 12, 13
+    kn = F.hex_kernel_num(r)
+    rng = np.random.default_rng(5)
+    a = jnp.asarray(rng.standard_normal((2, c, h, w)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((2, c, h, w)), jnp.float32)
+    k0 = jnp.asarray(0.1 * rng.standard_normal((c, 2 * c, kn)), jnp.float32)
+    k1 = jnp.asarray(0.1 * rng.standard_normal((c, c, kn)), jnp.float32)
+    ref = _split_oracle(a, b, [k0, k1], None, None, r)
+
+    got = hex_conv_stack_pallas(
+        jnp.moveaxis(a, 1, -1), [k0, k1], None, radius=r,
+        extra_input=jnp.moveaxis(b, 1, -1), data_format="NHWC")
+    np.testing.assert_allclose(np.asarray(jnp.moveaxis(got, -1, 1)),
+                               np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+    # uneven channel split (24 + 40): off the fused-kernel envelope, the
+    # launcher must route to the equivalent XLA chain, same answer
+    a2, b2 = a[:, :24], jnp.concatenate([a[:, 24:], b], axis=1)
+    got2 = hex_conv_stack_pallas(a2, [k0, k1], None, radius=r,
+                                 extra_input=b2)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_split_input_stack_validation():
+    k = np.ones((32, 64, 7), np.float32)
+    x = np.ones((1, 32, 8, 8), np.float32)
+    with pytest.raises(ValueError, match="incompatible"):
+        planes = pack_planes(np.moveaxis(x, 1, -1), radius=2)
+        hex_conv_stack_pallas(planes, [k], None, radius=2, packed_io=True,
+                              image_width=8, in_channels=32, extra_input=x)
+    with pytest.raises(ValueError, match="does not match"):
+        hex_conv_stack_pallas(x, [k], None, radius=2,
+                              extra_input=np.ones((1, 32, 8, 6), np.float32))
+    with pytest.raises(ValueError, match="input channels"):
+        # kernel expects 64 in-channels but halves are 32+16
+        hex_conv_stack_pallas(
+            x, [np.ones((32, 48, 7), np.float32)], None, radius=2,
+            extra_input=np.ones((1, 32, 8, 8), np.float32))
