@@ -72,13 +72,18 @@ class HexPixelShuffleUpsample(nn.Module):
         return E.hex_pixel_shuffle(x, self.factor)
 
 
-def _crop_or_pad_to(x, target_hw):
+def _crop_or_pad_to(x, target_hw, nhwc: bool = False):
     th, tw = target_hw
-    h, w = x.shape[-2:]
-    x = x[..., :min(h, th), :min(w, tw)]
-    ph, pw = th - x.shape[-2], tw - x.shape[-1]
+    ha, wa = (1, 2) if nhwc else (2, 3)
+    h, w = x.shape[ha], x.shape[wa]
+    sl = [slice(None)] * 4
+    sl[ha], sl[wa] = slice(0, min(h, th)), slice(0, min(w, tw))
+    x = x[tuple(sl)]
+    ph, pw = th - x.shape[ha], tw - x.shape[wa]
     if ph or pw:
-        x = jnp.pad(x, ((0, 0), (0, 0), (0, ph), (0, pw)))
+        pads = [(0, 0)] * 4
+        pads[ha], pads[wa] = (0, ph), (0, pw)
+        x = jnp.pad(x, pads)
     return x
 
 
@@ -109,12 +114,93 @@ class HexUNet(nn.Module):
     stack_min_cells: int = 1024
     dtype: jnp.dtype = jnp.float32
 
+    def _packed_chain_ok(self, cin: int, h: int, w: int) -> bool:
+        """Static check that the encoder chain (stack -> packed pool ->
+        stack ...) can run in the packed-plane domain: doubling widths
+        dividing 128 (the packed pool repacks q -> q/2 exactly), even
+        heights at every stage, every stage past ``stack_min_cells``
+        (same envelope as HexCNN's packed chain)."""
+        chs = list(self.widths)
+        if cin > chs[0] or any(c > 128 or 128 % c for c in chs):
+            return False
+        if any(b != 2 * a for a, b in zip(chs, chs[1:])):
+            return False
+        hs, ws = h, w
+        for s, c in enumerate(chs):
+            if hs % 2:
+                return False
+            q = 128 // c
+            if (hs // 2) * (-(-ws // q)) < self.stack_min_cells:
+                return False
+            if s != len(chs) - 1:
+                if (hs // 2) % 2:
+                    return False
+                hs, ws = hs // 2, (ws - 1) // 2
+        return True
+
     @nn.compact
     def __call__(self, x, train: bool = False):
         from ..nn.layers import HexConvStack
         x = jnp.asarray(x, self.dtype)
         cin = x.shape[1]
         stacked = self.use_stack and self.norm in ("GN", None)
+        # Fastest route: pack ONCE at the stem and run the whole encoder
+        # in the margined-plane domain (stack -> packed max-pool -> stack,
+        # zero per-stage layout conversions); skips unpack straight to
+        # NHWC (a pure reshape) and the decoder stays channels-last, each
+        # skip-join stage riding the fused concat-split stack.  Same param
+        # tree as the stage-wise route below (tested equal).
+        if stacked and self._packed_chain_ok(cin, x.shape[2], x.shape[3]):
+            from ..kernels.conv_pallas import (
+                hex_packed_maxpool2, pack_planes, unpack_planes)
+            hcur, wcur = x.shape[2], x.shape[3]
+            xl = jnp.moveaxis(x, 1, -1)
+            if cin < self.widths[0]:
+                xl = jnp.pad(xl,
+                             ((0, 0),) * 3 + ((0, self.widths[0] - cin),))
+            planes = pack_planes(xl, radius=self.radius, dilation=1)
+            skips = []
+            c_prev = cin
+            for i, width in enumerate(self.widths):
+                planes = HexConvStack(
+                    in_channels=c_prev, width=width, depth=self.depth,
+                    hexkernel_radius=self.radius, norm=self.norm,
+                    num_groups=8, min_cells=self.stack_min_cells,
+                    data_format="NHWC", dtype=self.dtype,
+                    name=f"enc{i}")(planes, packed_io=True,
+                                    image_width=wcur)
+                c_prev = width
+                if i != len(self.widths) - 1:
+                    skips.append(unpack_planes(
+                        planes, w=wcur, cout=width, radius=self.radius))
+                    planes = hex_packed_maxpool2(
+                        planes, image_width=wcur, in_channels=width,
+                        out_channels=self.widths[i + 1], radius=self.radius)
+                    hcur, wcur = hcur // 2, (wcur - 1) // 2
+            xl = unpack_planes(planes, w=wcur, cout=self.widths[-1],
+                               radius=self.radius)
+            for i, width in enumerate(reversed(self.widths[:-1])):
+                xc = jnp.moveaxis(xl, -1, 1)
+                if self.upsample == "transpose":
+                    xc = HexConvTranspose2d(
+                        in_channels=xc.shape[1], out_channels=width,
+                        even_odd_offset=0, hexkernel_radius=self.radius,
+                        stride=2, name=f"up{i}")(xc)
+                else:
+                    xc = HexPixelShuffleUpsample(channels=width, factor=2,
+                                                 name=f"up{i}")(xc)
+                xl = jnp.moveaxis(xc, 1, -1)
+                skip = skips.pop()
+                xl = _crop_or_pad_to(xl, skip.shape[1:3], nhwc=True)
+                xl = HexConvStack(
+                    in_channels=2 * width, width=width, depth=self.depth,
+                    hexkernel_radius=self.radius, norm=self.norm,
+                    num_groups=8, min_cells=self.stack_min_cells,
+                    data_format="NHWC", dtype=self.dtype,
+                    name=f"dec{i}")(xl, extra=skip)
+            xl = nn.Dense(self.num_classes, dtype=self.dtype,
+                          name="head")(xl)
+            return jnp.moveaxis(xl, -1, 1)
         norm_cfg = dict(type=self.norm, num_groups=8) if self.norm == "GN" \
             else (dict(type=self.norm) if self.norm else None)
 

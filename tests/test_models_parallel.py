@@ -632,3 +632,30 @@ class TestSplitStackDecoder:
         g = jax.grad(lambda pp: jnp.sum(m.apply(pp, x) ** 2))(p)
         for leaf in jax.tree.leaves(g):
             assert np.all(np.isfinite(np.asarray(leaf)))
+
+    def test_hexunet_packed_encoder_equals_stage_route(self, monkeypatch):
+        """The pack-once encoder chain (stack -> packed pool -> stack) +
+        NHWC split decoder must equal the stage-wise route on identical
+        params, and grads must flow."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from hygrid_tpu.models import HexUNet
+        from hygrid_tpu.models import hexunet as hexunet_mod
+
+        rng = np.random.default_rng(6)
+        x = jnp.asarray(rng.random((2, 3, 16, 16)), jnp.float32)
+        m = HexUNet(num_classes=3, widths=(16, 32), depth=1, norm="GN",
+                    stack_min_cells=0)
+        p = m.init(jax.random.key(0), x)
+        assert m._packed_chain_ok(3, 16, 16)
+        y_packed = m.apply(p, x)
+        monkeypatch.setattr(hexunet_mod.HexUNet, "_packed_chain_ok",
+                            lambda self, *a: False)
+        y_stage = m.apply(p, x)
+        np.testing.assert_allclose(np.asarray(y_packed),
+                                   np.asarray(y_stage),
+                                   rtol=2e-4, atol=2e-4)
+        monkeypatch.undo()
+        g = jax.grad(lambda pp: jnp.sum(m.apply(pp, x) ** 2))(p)
+        assert all(bool(jnp.all(jnp.isfinite(l))) for l in jax.tree.leaves(g))
