@@ -12,6 +12,7 @@ All functions take (B, C, H, W); classes follow the archive constructors.
 """
 from __future__ import annotations
 
+import functools
 import math
 from typing import Optional
 
@@ -131,14 +132,53 @@ def square_to_hex_conv2d_by_double_stride(x, kernel, *, padding: int = 0,
 
 
 def hex_conv_transpose2d(x, kernel, bias=None, *, even_odd_offset: int = 0,
-                         radius: int, stride: int = 1, groups: int = 1):
+                         radius: int, stride: int = 1, groups: int = 1,
+                         impl: str = "auto"):
     """Hex transposed convolution (archive codes:129-274).
 
-    Zero-stuffs the input onto an upsampled type-1 canvas
-    (``input_interpolation``, codes:186-205), pads by ``radius - 1``, then
-    runs the standard dual-phase conv with stride (2, 2).
+    Semantics: zero-stuff the input onto an upsampled type-1 canvas
+    (``input_interpolation``, codes:186-205), pad by ``radius - 1``, then
+    run the standard dual-phase conv with stride (2, 2).
     ``kernel``: (O, C // groups, kernelnum).
+
+    ``impl="canvas"`` executes that literally.  ``impl="phase"`` (the
+    ``"auto"`` default) runs the numerically-derived phase decomposition
+    instead: the canvas is ~``1/stride^2`` dense, so the canvas conv
+    spends ~75% of its MACs on structural zeros at stride 2 — the phase
+    path regroups the taps that ever hit data into per-output-phase
+    sub-kernels applied DIRECTLY to the un-stuffed input (no canvas
+    materialisation, no zero MACs), bit-equal by construction and tested
+    against the canvas path.
     """
+    if impl not in ("auto", "phase", "canvas"):
+        raise ValueError(f"unknown impl {impl!r}")
+    if impl != "canvas":
+        x = jnp.asarray(x)
+        while x.ndim < 4:
+            x = x[None]
+        s, r = stride, radius
+        p = r - 1
+        h1p = s * x.shape[2] - s + 1 + 2 * p
+        w1p = 2 * s * x.shape[3] - s + 2 + (1 - s % 2) + 4 * p
+        he = (h1p - (2 * r - 1)) // 2 + 1
+        ho = (h1p - s - (2 * r - 1)) // 2 + 1
+        wo = (w1p - 1 - s - (4 * r - 3)) // 2 + 1
+        if he > 0 and ho > 0 and wo > 0:
+            return _hex_conv_transpose2d_phase(
+                x, kernel, bias, even_odd_offset=even_odd_offset,
+                radius=radius, stride=stride, groups=groups)
+        if impl == "phase":
+            raise ValueError("input too small for the phase path; use "
+                             "impl='canvas'")
+    return _hex_conv_transpose2d_canvas(
+        x, kernel, bias, even_odd_offset=even_odd_offset, radius=radius,
+        stride=stride, groups=groups)
+
+
+def _hex_conv_transpose2d_canvas(x, kernel, bias=None, *,
+                                 even_odd_offset: int = 0, radius: int,
+                                 stride: int = 1, groups: int = 1):
+    """The literal canvas formulation (archive codes:129-274)."""
     x = jnp.asarray(x)
     while x.ndim < 4:
         x = x[None]
@@ -180,6 +220,179 @@ def hex_conv_transpose2d(x, kernel, bias=None, *, even_odd_offset: int = 0,
     oddconv = _conv(canvas[:, :, s:, s + 1:].astype(weight.dtype), weight,
                     (2, 2), groups)
     return _merge_phases(evenconv, oddconv, bias)
+
+
+@functools.lru_cache(maxsize=None)
+def _transpose_phase_plan(radius: int, stride: int, offset: int):
+    """Numerically derive the zero-stuffing-free phase decomposition of
+    :func:`hex_conv_transpose2d`.
+
+    The canvas conv is linear with a periodic sparsity pattern: canvas
+    occupancy repeats every ``2*stride`` rows/columns, and each conv
+    phase advances 2 canvas cells per output step, so output positions
+    fall into ``stride x stride`` classes per conv phase.  Within a
+    class, the set of kernel taps that hit data — and the input pixel
+    each tap reads, relative to an affine-in-(y, z) anchor — is
+    translation invariant.  This function simulates the EXACT canvas
+    index arithmetic of the canvas path on an integer "owner" array and
+    extracts, per class: the anchor affine maps and the sub-kernel tap
+    placements.
+
+    Returns ``plans[conv_phase][(ya, za)] =
+    (ai, bi, aj, bj, extent_i, extent_j, taps)`` with ``taps`` a tuple of
+    ``(di, dj, hex_tap_index)``; input row read by a tap is
+    ``ai*yq + bi + di`` for class step ``yq`` (columns analogous).
+    """
+    s, r = stride, radius
+    ks = 2 * r - 1
+    k_h, k_w = ks, 4 * r - 3
+    p = r - 1
+    # canonical size: large enough for >= 2 interior samples per class
+    h0 = 8 * s + 4 * r
+    w0 = 8 * s + 4 * r
+    w1 = 2 * s * w0 - s + 2 + (1 - s % 2)
+    h1 = s * h0 - s + 1
+    own = -np.ones((h1, w1), np.int64)
+    ev = np.arange(0, h0, 2)
+    od = np.arange(1, h0, 2)
+    for delta in (0, 1):
+        col0 = offset * s + delta
+        rr = 2 * s * np.arange(len(ev))
+        cc = col0 + 2 * s * np.arange(w0)
+        own[np.ix_(rr, cc)] = ev[:, None] * w0 + np.arange(w0)[None]
+        col1 = (1 - offset) * s + delta
+        if len(od):
+            rr = s + 2 * s * np.arange(len(od))
+            cc = col1 + 2 * s * np.arange(w0)
+            own[np.ix_(rr, cc)] = od[:, None] * w0 + np.arange(w0)[None]
+    own = np.pad(own, ((p, p), (2 * p, 2 * p)), constant_values=-1)
+    wmap = -np.ones((k_h, k_w), np.int64)
+    for (i, t, ln, start) in _hex_kernel_rows(r):
+        wmap[i, t:t + (ln - 1) * 2 + 1:2] = np.arange(start, start + ln)
+    views = (own[:, 1:own.shape[1] - s], own[s:, s + 1:])
+
+    def fit_affine(pairs):
+        """Exact integer least... exact affine fit y -> v; assert."""
+        (q0, v0), (q1, v1) = pairs[0], pairs[-1]
+        assert q1 != q0
+        a, rem = divmod(v1 - v0, q1 - q0)
+        assert rem == 0
+        b = v0 - a * q0
+        assert all(v == a * q + b for q, v in pairs)
+        return a, b
+
+    plans = []
+    for view in views:
+        H = (view.shape[0] - k_h) // 2 + 1
+        W = (view.shape[1] - k_w) // 2 + 1
+        cls = {}
+        for ya in range(s):
+            for za in range(s):
+                recs = []
+                for yq, y in enumerate(range(ya, H, s)):
+                    for zq, z in enumerate(range(za, W, s)):
+                        win = view[2 * y:2 * y + k_h, 2 * z:2 * z + k_w]
+                        tm = {}
+                        for ki in range(k_h):
+                            for kj in range(k_w):
+                                if wmap[ki, kj] < 0:
+                                    continue
+                                o = win[ki, kj]
+                                if o >= 0:
+                                    tm[(ki, kj)] = (o // w0, o % w0)
+                        recs.append((yq, zq, tm))
+                keysets = [frozenset(t) for (_, _, t) in recs]
+                full = max(keysets, key=len, default=frozenset())
+                if not full:
+                    cls[(ya, za)] = None
+                    continue
+                interior = [rec for rec, k_ in zip(recs, keysets)
+                            if k_ == full]
+                ai = aj = None
+                tap_affine = {}
+                for tap in sorted(full):
+                    ipairs = sorted({(yq, tm[tap][0])
+                                     for (yq, _, tm) in interior})
+                    jpairs = sorted({(zq, tm[tap][1])
+                                     for (_, zq, tm) in interior})
+                    # rows depend only on yq, cols only on zq
+                    assert len({q for q, _ in ipairs}) == len(ipairs)
+                    assert len({q for q, _ in jpairs}) == len(jpairs)
+                    a_i, b_i = fit_affine(ipairs)
+                    a_j, b_j = fit_affine(jpairs)
+                    if ai is None:
+                        ai, aj = a_i, a_j
+                    assert (a_i, a_j) == (ai, aj)
+                    tap_affine[tap] = (b_i, b_j)
+                bi = min(v[0] for v in tap_affine.values())
+                bj = min(v[1] for v in tap_affine.values())
+                taps = tuple(
+                    (v[0] - bi, v[1] - bj, int(wmap[tap]))
+                    for tap, v in sorted(tap_affine.items()))
+                ext_i = 1 + max(t[0] for t in taps)
+                ext_j = 1 + max(t[1] for t in taps)
+                cls[(ya, za)] = (ai, bi, aj, bj, ext_i, ext_j, taps)
+        plans.append(cls)
+    return tuple(plans)
+
+
+def _hex_conv_transpose2d_phase(x, kernel, bias, *, even_odd_offset: int,
+                                radius: int, stride: int, groups: int):
+    """Phase-decomposed transposed conv: per output-phase class, one
+    dense stride-``(ai, aj)`` conv DIRECTLY on the input with the
+    sub-kernel of taps that hit data (see :func:`_transpose_phase_plan`);
+    classes interleave into the two conv phases, which merge as usual."""
+    kernel = jnp.asarray(kernel)
+    b_, c, h, w = x.shape
+    s, r = stride, radius
+    ks = 2 * r - 1
+    k_h, k_w = ks, 4 * r - 3
+    p = r - 1
+    o = kernel.shape[0]
+    h1p = s * h - s + 1 + 2 * p
+    w1p = 2 * s * w - s + 2 + (1 - s % 2) + 4 * p
+    wv = w1p - 1 - s
+    sizes = (((h1p - k_h) // 2 + 1, (wv - k_w) // 2 + 1),
+             ((h1p - s - k_h) // 2 + 1, (wv - k_w) // 2 + 1))
+    plans = _transpose_phase_plan(radius, stride, even_odd_offset)
+    dt = kernel.dtype
+    outs = []
+    for cp, (H, W) in enumerate(sizes):
+        Hm, Wm = -(-H // s), -(-W // s)
+        subs = []
+        for ya in range(s):
+            for za in range(s):
+                info = plans[cp].get((ya, za))
+                Hq = len(range(ya, H, s))
+                Wq = len(range(za, W, s))
+                if info is None or Hq == 0 or Wq == 0:
+                    subs.append(jnp.zeros((b_, o, Hm, Wm), dt))
+                    continue
+                ai, bi, aj, bj, ext_i, ext_j, taps = info
+                subk = jnp.zeros((o, c // groups, ext_i, ext_j), dt)
+                for di, dj, tap in taps:
+                    subk = subk.at[:, :, di, dj].add(
+                        kernel[:, :, tap].astype(dt))
+                r0 = ai * 0 + bi
+                r1 = ai * (Hq - 1) + bi + ext_i
+                c0 = aj * 0 + bj
+                c1 = aj * (Wq - 1) + bj + ext_j
+                pt, pb = max(0, -r0), max(0, r1 - h)
+                pl_, pr = max(0, -c0), max(0, c1 - w)
+                xp = x
+                if pt or pb or pl_ or pr:
+                    xp = jnp.pad(x, ((0, 0), (0, 0), (pt, pb), (pl_, pr)))
+                xs = xp[:, :, r0 + pt:r1 + pt, c0 + pl_:c1 + pl_]
+                sub = _conv(xs.astype(dt), subk, (ai, aj), groups)
+                if sub.shape[2] < Hm or sub.shape[3] < Wm:
+                    sub = jnp.pad(sub, ((0, 0), (0, 0),
+                                        (0, Hm - sub.shape[2]),
+                                        (0, Wm - sub.shape[3])))
+                subs.append(sub)
+        arr = jnp.stack(subs).reshape(s, s, b_, o, Hm, Wm)
+        arr = arr.transpose(2, 3, 4, 0, 5, 1).reshape(b_, o, Hm * s, Wm * s)
+        outs.append(arr[:, :, :H, :W])
+    return _merge_phases(outs[0], outs[1], bias)
 
 
 def hex_pixel_shuffle(x, upscale_factor: int):

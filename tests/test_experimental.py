@@ -4,6 +4,7 @@ import os
 
 import numpy as np
 import pytest
+import jax
 import jax.numpy as jnp
 
 from hygrid_tpu.nn import experimental as E
@@ -110,3 +111,42 @@ def test_weight_initialisers():
     np.testing.assert_allclose(np.asarray(w2[0]).sum(), 1.0, rtol=1e-6)
     w3 = E.diamond_weight(1)
     np.testing.assert_allclose(np.asarray(w3).sum(), 1.0, rtol=1e-6)
+
+
+@pytest.mark.parametrize("r,s,off,g", [
+    (2, 2, 0, 1), (2, 2, 1, 1), (3, 2, 0, 1), (2, 3, 0, 1),
+    (1, 2, 0, 1), (2, 1, 0, 1), (2, 2, 0, 2),
+])
+def test_transpose_phase_equals_canvas(r, s, off, g):
+    """The zero-stuffing-free phase decomposition must be BIT-equal to the
+    literal canvas formulation (same conv dtype semantics), forward and
+    grad."""
+    rng = np.random.default_rng(r * 10 + s + off)
+    kn = F.hex_kernel_num(r)
+    c, o = 4 * g, 4
+    x = jnp.asarray(rng.normal(size=(2, c, 10, 9)), jnp.float32)
+    k = jnp.asarray(rng.normal(0, 0.2, (o, c // g, kn)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(o,)), jnp.float32)
+    ref = E._hex_conv_transpose2d_canvas(
+        x, k, b, even_odd_offset=off, radius=r, stride=s, groups=g)
+    got = E.hex_conv_transpose2d(
+        x, k, b, even_odd_offset=off, radius=r, stride=s, groups=g,
+        impl="phase")
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    ga = jax.grad(lambda xx, kk: jnp.sum(E.hex_conv_transpose2d(
+        xx, kk, b, even_odd_offset=off, radius=r, stride=s, groups=g,
+        impl="phase") ** 2), argnums=(0, 1))(x, k)
+    gb = jax.grad(lambda xx, kk: jnp.sum(E._hex_conv_transpose2d_canvas(
+        xx, kk, b, even_odd_offset=off, radius=r, stride=s,
+        groups=g) ** 2), argnums=(0, 1))(x, k)
+    for t1, t2 in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(t1), np.asarray(t2),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_transpose_impl_validation():
+    x = np.ones((1, 4, 8, 8), np.float32)
+    k = np.ones((4, 4, 7), np.float32)
+    with pytest.raises(ValueError, match="unknown impl"):
+        E.hex_conv_transpose2d(x, k, radius=2, stride=2, impl="bogus")
