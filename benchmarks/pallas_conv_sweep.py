@@ -8,8 +8,11 @@ and the sweep continues.
     python benchmarks/pallas_conv_sweep.py one C b s impl   # one cell
 """
 import json
+import os
 import subprocess
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 CONFIGS = [
     # (C, batch, size) — mirrors the PERF.md impl sweep + the crash config

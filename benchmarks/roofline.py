@@ -16,6 +16,10 @@ f32 inputs run the selection matmuls at Precision.HIGHEST (6 bf16 passes)
 from __future__ import annotations
 
 import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax

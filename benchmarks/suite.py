@@ -1,7 +1,8 @@
 """The five BASELINE.json benchmark configs, each printing one JSON line.
 
 Run on TPU:  python benchmarks/suite.py [config ...]
-Configs: roundtrip | batched_filter | hexcnn | hexcnn512 | resample4k | video | mosaic | all
+Configs: roundtrip | batched_filter | hexcnn | hexcnn512 | hexunet |
+hexvit | hexcnn512_train | hexunet_train | resample4k | video | mosaic | all
 
 (``bench.py`` at the repo root is the driver-facing north-star metric and
 equals ``roundtrip`` here.)
@@ -9,8 +10,13 @@ equals ``roundtrip`` here.)
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
+
+# make `python benchmarks/suite.py` work as documented: the script dir is
+# on sys.path, the repo root (the hygrid_tpu package parent) is not
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
@@ -195,6 +201,57 @@ def bench_hexvit(batch=32, size=512):
         "vs_baseline": None}))
 
 
+def _bench_train(model, metric, x, labels, n):
+    """Shared body of the training-step configs: one full optimization
+    step per iteration (hexify -> forward -> backward -> adamw update),
+    with every new parameter reduced into the fetched scalar so the whole
+    update is forced.  State is re-derived from the same base each
+    iteration (standard step-time methodology; chaining states through the
+    scan would serialize on the tiny param update, not change the number)."""
+    from hygrid_tpu.models import (create_train_state, train_step,
+                                   hexify_batch)
+
+    state = create_train_state(model, jax.random.key(0),
+                               hexify_batch(x[:1]))
+
+    def f(v, labels):
+        new_state, metrics = train_step(state, hexify_batch(v), labels)
+        return new_state.params, metrics["loss"]
+
+    per = _timeit(f, x, labels, n=n)
+    print(json.dumps({
+        "metric": metric, "value": round(x.shape[0] / per, 1),
+        "unit": "images/sec/chip", "vs_baseline": None}))
+
+
+def bench_hexcnn512_train(batch=32):
+    """Training-step throughput of the 512^2 metric-of-record config:
+    rect->hex resample + HexCNN-small forward + backward + adamw."""
+    from hygrid_tpu.models import hexcnn_small
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((batch, 3, 512, 512)), jnp.float32)
+    labels = jnp.asarray(np.arange(batch) % 10)
+    _bench_train(hexcnn_small(norm="GN", dtype=jnp.bfloat16),
+                 f"HexCNN-small TRAIN step at 512^2 inputs, batch {batch}",
+                 x, labels, n=6)
+
+
+def bench_hexunet_train(batch=8, size=512):
+    """Training-step throughput of the dense-prediction config: rect->hex
+    resample + HexUNet forward + backward + adamw on per-cell labels."""
+    from hygrid_tpu.models import HexUNet
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((batch, 3, size, size)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, 4, (batch, size // 2, size // 2)))
+    model = HexUNet(num_classes=4, widths=(32, 64, 128), norm="GN",
+                    dtype=jnp.bfloat16)
+    _bench_train(model,
+                 f"HexUNet-small TRAIN step at {size}^2 inputs, batch {batch}",
+                 x, labels, n=4)
+
+
 def bench_resample4k():
     """>VMEM resample: 4K->4K hex->rect linear; the 33 MB/plane source
     exceeds the VMEM budget, so this exercises the row-banded kernel
@@ -257,6 +314,8 @@ ALL = {
     "hexcnn512": bench_hexcnn512,
     "hexunet": bench_hexunet,
     "hexvit": bench_hexvit,
+    "hexcnn512_train": bench_hexcnn512_train,
+    "hexunet_train": bench_hexunet_train,
     "resample4k": bench_resample4k,
     "video": bench_video,
     "mosaic": bench_mosaic,

@@ -26,6 +26,7 @@ import math
 from typing import Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -115,13 +116,59 @@ def _type1_expand(x, parity: int):
 
 
 def _conv(x, w, stride, groups):
-    # accumulate low-precision inputs in f32 on the MXU, return input dtype
-    pet = jnp.float32 if x.dtype in (jnp.bfloat16, jnp.float16) else x.dtype
-    out = lax.conv_general_dilated(
+    # Low-precision convs run WITHOUT preferred_element_type: XLA
+    # accumulates bf16 convs in f32 on the MXU regardless (verified
+    # bit-equal against pet=f32 + round on CPU and TPU), and jax's conv
+    # *transpose* rule rejects pet != operand dtype ("requires arguments
+    # to have the same dtypes": the f32 cotangent meets the bf16 weights),
+    # which broke every mixed-precision training step reaching this path.
+    return lax.conv_general_dilated(
         x, w, window_strides=stride, padding="VALID",
-        dimension_numbers=_DN, feature_group_count=groups,
-        preferred_element_type=pet)
-    return out.astype(x.dtype)
+        dimension_numbers=_DN, feature_group_count=groups)
+
+
+def _f32acc_matmul(spec_fwd: str, spec_dx: str, spec_dm: str):
+    """An einsum with f32 accumulation (``preferred_element_type``) that
+    stays differentiable in mixed precision.
+
+    jax's dot/conv *transpose* rules feed the f32 cotangent of a
+    pet=f32 einsum back as a bf16 x bf16 -> f32 dot, which XLA:CPU's
+    DotThunk cannot execute (TPU can) — so a jitted ``grad`` of any bf16
+    model through these paths crashed on CPU.  The custom VJP keeps the
+    f32-accumulated forward bit-for-bit and computes the data grad as a
+    full-rate low-precision dot (standard mixed-precision practice) and
+    the weight grad with f32 accumulation (weight grads sum over the
+    whole batch*spatial extent, where bf16 accumulation loses bits).
+    For f32 inputs both grads equal jax's own."""
+
+    @jax.custom_vjp
+    def f(xx, mm):
+        pet = (jnp.float32 if xx.dtype in (jnp.bfloat16, jnp.float16)
+               else xx.dtype)
+        return jnp.einsum(spec_fwd, xx, mm, preferred_element_type=pet)
+
+    def fwd(xx, mm):
+        return f(xx, mm), (xx, mm)
+
+    def bwd(res, g):
+        xx, mm = res
+        gc = g.astype(xx.dtype)
+        dx = jnp.einsum(spec_dx, gc, mm)
+        pet = (jnp.float32 if xx.dtype in (jnp.bfloat16, jnp.float16)
+               else xx.dtype)
+        dm = jnp.einsum(spec_dm, xx, gc, preferred_element_type=pet)
+        return dx.astype(xx.dtype), dm.astype(mm.dtype)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+# one lane-contraction layout serves both the mxu and the packed path:
+# (B, H, W, K) @ (K, N) — channels/taps trailing, the layout XLA:CPU's
+# DotThunk supports for mixed-precision outputs and XLA:TPU contracts
+# along lanes without a hidden relayout
+_mm_lane = _f32acc_matmul(
+    "bhwk,kn->bhwn", "bhwn,kn->bhwk", "bhwk,bhwn->kn")
 
 
 def hex_conv2d_output_shape(h: int, w: int, radius: int, stride: int = 1,
@@ -274,22 +321,22 @@ def _hex_conv2d_mxu(x, kernel, bias, parity, radius, s, d, groups):
     o_ch = kernel.shape[0]
     w2 = jnp.transpose(kernel, (2, 1, 0)).reshape(-1, o_ch)
 
+    xl = jnp.moveaxis(x, 1, -1)                        # (B, H, W, C)
+
     def phase(r0, c0, ho):
         taps = []
         for (i, t, ln, start) in rows:
             for k in range(ln):
                 col = c0[i] + d * k
                 taps.append(lax.slice(
-                    x,
-                    (0, 0, r0 + i * d, col),
-                    (b, c, r0 + i * d + 2 * s * (ho - 1) + 1,
-                     col + s * (wo - 1) + 1),
-                    (1, 1, 2 * s, s)))
-        patches = jnp.concatenate(taps, axis=1)        # (B, T*C, Ho, Wo)
-        pet = jnp.float32 if x.dtype in (jnp.bfloat16, jnp.float16) else x.dtype
-        out = jnp.einsum("bphw,po->bohw", patches, w2,
-                         preferred_element_type=pet)
-        return out.astype(x.dtype)
+                    xl,
+                    (0, r0 + i * d, col, 0),
+                    (b, r0 + i * d + 2 * s * (ho - 1) + 1,
+                     col + s * (wo - 1) + 1, c),
+                    (1, 2 * s, s, 1)))
+        patches = jnp.concatenate(taps, axis=-1)       # (B, Ho, Wo, T*C)
+        out = _mm_lane(patches, w2).astype(x.dtype)
+        return jnp.moveaxis(out, -1, 1)                # (B, O, Ho, Wo)
 
     evenconv = phase(0, c0e, ho_e)
     oddconv = phase(s, c0o, ho_o)
@@ -374,7 +421,6 @@ def _hex_conv2d_packed(x, kernel, bias, parity, radius, s, d, groups):
             mats[key] = m
         return mats
 
-    pet = jnp.float32
     cdt = x.dtype
 
     def phase(c0, ho, row_of, src_of):
@@ -385,9 +431,7 @@ def _hex_conv2d_packed(x, kernel, bias, parity, radius, s, d, groups):
             r0 = row_of(i)
             blk = lax.slice(src, (0, r0, sblk, 0),
                             (b, r0 + ho, sblk + wp_out, q * c))
-            term = jnp.einsum("bhwk,kn->bhwn", blk.astype(cdt),
-                              jnp.asarray(m, cdt),
-                              preferred_element_type=pet)
+            term = _mm_lane(blk.astype(cdt), jnp.asarray(m, cdt))
             out = term if out is None else out + term
         # unpack (B, Ho, WP, Q*Cout) -> (B, Cout, Ho, Wo)
         out = out.reshape(b, ho, wp_out * q, co)[:, :, :wo]

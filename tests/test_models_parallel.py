@@ -96,6 +96,35 @@ class TestModels:
         ev = jax.jit(eval_step)(state, x, y)
         assert 0 <= float(ev["accuracy"]) <= 1
 
+    def test_mixed_precision_training_all_families(self):
+        """bf16 compute + f32 params trains through every model family
+        under FULL jit.  Regression: jax's conv/dot transpose rules turned
+        the f32 cotangent of a preferred_element_type=f32 op into a
+        bf16 x bf16 -> f32 dot that (a) conv rejects outright and (b)
+        XLA:CPU's DotThunk cannot execute — every jitted bf16 train_step
+        crashed until round 3 (``functional._conv`` / ``_f32acc_matmul``)."""
+        from hygrid_tpu.models import HexUNet, HexViT, hexify_batch
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.random((2, 3, 64, 64)), jnp.float32)
+        hx = hexify_batch(x)
+        labels = jnp.asarray(np.arange(2) % 4)
+        cases = [
+            (hexcnn_tiny(norm="GN", dtype=jnp.bfloat16), labels),
+            (HexUNet(num_classes=4, widths=(8, 16, 32), norm="GN",
+                     dtype=jnp.bfloat16),
+             jnp.asarray(rng.integers(0, 4, (2, 32, 32)))),
+            (HexViT(num_classes=4, dim=32, depth=1, heads=2,
+                    patch_halvings=2, dtype=jnp.bfloat16), labels),
+        ]
+        for model, lab in cases:
+            state = create_train_state(model, jax.random.key(0), hx[:1])
+            state, metrics = jax.jit(train_step)(state, hx, lab)
+            assert np.isfinite(float(metrics["loss"]))
+            # params stay f32 (mixed precision: f32 master weights)
+            leaf = jax.tree_util.tree_leaves(state.params)[0]
+            assert leaf.dtype == jnp.float32
+
     def test_hexconvnext_block(self):
         m = HexConvNeXtBlock(width=8)
         x = jnp.asarray(np.random.default_rng(2).normal(size=(2, 8, 12, 12)),
