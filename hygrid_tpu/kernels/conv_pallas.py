@@ -634,12 +634,15 @@ def _stack_layer_kernel(*refs, meta_e, meta_o, h2, wp_out,
                         split: bool = False):
     """One packed-domain 'same' layer, IN-PLACE (``input_output_aliases``
     maps xe->oute / xo->outo).  Inputs carry a 1-row/1-packed-col zero
-    margin (indices in ``meta`` are pre-shifted); because the out refs
-    alias the in refs, those zero margins persist without any re-zeroing —
-    the kernel computes BOTH phases first (all reads), then stores only the
-    interiors.  Ragged tail pixels are masked in-kernel so the next layer's
-    edge reads see proper zero padding.  ``bg`` batch elements share each
-    grid step (bigger matmul M-dim).
+    margin (indices in ``meta`` are pre-shifted); the kernel computes BOTH
+    phases first (all reads), then writes the full output blocks — margins
+    zeroed in-kernel (cheap VMEM stores), interiors last.  The aliasing is
+    kept as a memory-reuse hint but correctness no longer depends on it
+    physically preserving the input's margins (XLA's memory-space
+    assignment can split the aliased pair across HBM/VMEM — see the store
+    comment below).  Ragged tail pixels are masked in-kernel so the next
+    layer's edge reads see proper zero padding.  ``bg`` batch elements
+    share each grid step (bigger matmul M-dim).
 
     ``norm`` fuses a per-layer normalisation after conv+bias:
 
@@ -750,9 +753,35 @@ def _stack_layer_kernel(*refs, meta_e, meta_o, h2, wp_out,
             acc_o = acc_o * km
         oe, oo = acc_e, acc_o
 
-    # all reads done; now overwrite the aliased interiors
-    oute_ref[0:bg, 1:1 + h2, 1:1 + wp_out, :] = oe.astype(oute_ref.dtype)
-    outo_ref[0:bg, 1:1 + h2, 1:1 + wp_out, :] = oo.astype(outo_ref.dtype)
+    # All reads done; write the FULL output blocks.  The kernel must NOT
+    # rely on input_output_aliases physically preserving the input's zero
+    # margins: XLA's memory-space-assignment pass sometimes places the
+    # aliased output in VMEM (S(1)) while the operand stays in HBM — a
+    # fresh buffer whose margin bytes were never written (observed as
+    # all-NaN model outputs at specific batch sizes).  Margins are
+    # re-zeroed with row-aligned strip stores (the interior rows carry
+    # their zero margin columns inside one store via concatenate);
+    # zeroing the whole block first instead measured -30% end-to-end.
+    rows_tot = oute_ref.shape[1]
+    cols_tot = oute_ref.shape[2]
+    lanes_o = oute_ref.shape[3]
+
+    def store_full(dst, val):
+        # interior straight from the accumulators (the single store the
+        # r2 kernel shipped), then four tiny margin strips
+        dt = dst.dtype
+        dst[0:bg, 1:1 + h2, 1:1 + wp_out, :] = val.astype(dt)
+        dst[0:bg, 0:1] = jnp.zeros((bg, 1, cols_tot, lanes_o), dt)
+        if rows_tot > 1 + h2:
+            dst[0:bg, 1 + h2:rows_tot] = jnp.zeros(
+                (bg, rows_tot - 1 - h2, cols_tot, lanes_o), dt)
+        dst[0:bg, 1:1 + h2, 0:1, :] = jnp.zeros((bg, h2, 1, lanes_o), dt)
+        if cols_tot > 1 + wp_out:
+            dst[0:bg, 1:1 + h2, 1 + wp_out:cols_tot, :] = jnp.zeros(
+                (bg, h2, cols_tot - 1 - wp_out, lanes_o), dt)
+
+    store_full(oute_ref, oe)
+    store_full(outo_ref, oo)
 
 
 def _fused_stack_kernel(xe_ref, xo_ref, me_ref, mo_ref, b_ref,
@@ -1347,10 +1376,18 @@ def _stack_impl(x, kernels, biases, norm_arrays, statics):
                     28 * 2 ** 20,
                     # aliased block pair (double-buffered) + f32 phase accs
                     # + the read-only B planes when split
-                    # + generous slack for Mosaic temporaries
+                    # + slack for Mosaic temporaries AND for buffers XLA's
+                    # memory-space-assignment pass promotes to VMEM around
+                    # this call: MSA charges its S(1) placements against
+                    # this limit and hard-errors the compile when they
+                    # exceed it (observed under jvp at b=32: kernel ~33 MB
+                    # + ~15 MB of promoted planes).  Correctness never
+                    # depends on the placements (margins are re-zeroed
+                    # in-kernel), so headroom is safe — measured neutral
+                    # end-to-end.
                     (6 if is_split else 4) * blk_bytes * bg
                     + 8 * bg * h2 * wp_out * 128
-                    + 16 * 2 ** 20)))),
+                    + 48 * 2 ** 20)))),
             interpret=jax.default_backend() != "tpu",
         )(*inputs)
         wp = wp_out
