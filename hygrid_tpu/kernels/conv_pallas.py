@@ -264,14 +264,18 @@ def _stack_layer_kernel_banded(xe_ref, xo_ref, me_ref, mo_ref, be_ref,
     for c in fetches(j, slot):
         c.wait()
 
-    # validity masks: rows past the interior and ragged tail pixels -> 0
+    # validity masks: rows past the interior and ragged tail pixels -> 0.
+    # Kept BOOLEAN and applied with a select, not a multiply: the accs of
+    # masked-out rows can read the plane's never-written bottom margin
+    # rows [2 + h2p, rows_tot) — uninitialized bytes whose bf16 patterns
+    # may be NaN, and NaN * 0 = NaN would flow into rows the next layer
+    # reads as zeros (interior reads themselves never touch those rows).
     rid = lax.broadcasted_iota(jnp.int32, (brr, wp_out, lanes), 0) + j * brr
-    keep = (rid < h2).astype(jnp.float32)
+    keep = rid < h2
     if tail_cut:
         col_ids = lax.broadcasted_iota(jnp.int32, (brr, wp_out, lanes), 1)
         lane_ids = lax.broadcasted_iota(jnp.int32, (brr, wp_out, lanes), 2)
-        keep = keep * (~((col_ids == wp_out - 1)
-                         & (lane_ids >= tail_cut))).astype(jnp.float32)
+        keep = keep & ~((col_ids == wp_out - 1) & (lane_ids >= tail_cut))
 
     def run_phase(meta, mref, out_s):
         acc = jnp.zeros((bg * brr * wp_out, lanes), jnp.float32)
@@ -284,7 +288,7 @@ def _stack_layer_kernel_banded(xe_ref, xo_ref, me_ref, mo_ref, be_ref,
             acc = acc + be_ref[0, :].astype(jnp.float32)
         if relu:
             acc = jnp.maximum(acc, 0.0)
-        out = acc.reshape(bg, brr, wp_out, lanes) * keep[None]
+        out = jnp.where(keep[None], acc.reshape(bg, brr, wp_out, lanes), 0.0)
         out_s[...] = jnp.zeros(out_s.shape, out_s.dtype)
         out_s[:, :, 1:1 + wp_out, :] = out.astype(out_s.dtype)
 
