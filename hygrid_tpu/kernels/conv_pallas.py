@@ -441,6 +441,18 @@ def _stack_impl_banded(x, kernels, biases, statics):
 
 # ---------------------- packed-domain 'same' conv stack ----------------------
 
+def _same_meta_feasible(radius: int, d: int, q: int) -> bool:
+    """Whether the 'same' meta fits the packed plane layout's fixed
+    1-row/1-packed-col top/left zero margin: the folded padding
+    ``d*(radius-1)`` may reach further up/left than one plane row/column
+    for deep dilations or radii (e.g. d=3 or radius>=4 at q=1), in which
+    case the stack must run the equivalent XLA chain instead of reading
+    out of the plane block."""
+    meta = _phase_meta_same(radius, d, q)
+    return all(r >= 0 and sb >= 0
+               for m in meta for ((_s, r, sb), _) in m)
+
+
 def _plane_meta_margins(radius: int, d: int, q: int):
     """(max_r0, max_sblk) over both phases of the 'same' meta — the
     bottom/right margin sizing of the packed plane layout."""
@@ -598,14 +610,15 @@ def hex_packed_maxpool2(planes, *, image_width: int, in_channels: int,
 
 
 def _phase_meta_same(radius: int, d: int, q: int):
-    """Static metadata for a 'same' hex conv (padding = radius - 1) applied
-    directly in the packed even/odd-row domain.
+    """Static metadata for a 'same' hex conv (padding = d * (radius - 1),
+    the shape-preserving padding of a dilated kernel) applied directly in
+    the packed even/odd-row domain.
 
     The spatial padding is folded into the tap shifts (which may go
     negative, reading the one zero row/packed-column prepended to each
     plane) so chained layers never leave the packed layout.
     """
-    p = radius - 1
+    p = d * (radius - 1)
     parity = p % 2  # conv-internal parity: (offset 0 + padding) % 2
     rows = _hex_kernel_rows(radius)
     c0e = [(1 + t * d - ((i * d + parity) % 2)) // 2 for (i, t, ln, st) in rows]
@@ -974,6 +987,13 @@ def hex_conv_stack_pallas(x, kernels, biases=None, *, radius: int,
                 "whole-image statistics, a band sees only its rows")
         if fused:
             raise ValueError("band_rows is incompatible with fused=True")
+        cb = int(x.shape[-1] if nhwc else x.shape[1])
+        if cb <= 128 and 128 % cb == 0 and not _same_meta_feasible(
+                radius, dilation, 128 // cb):
+            raise ValueError(
+                f"banded stack does not support radius={radius}, "
+                f"dilation={dilation} (the 'same' padding exceeds the "
+                f"banded plane margin)")
     else:
         # >VMEM tier: when the full-plane layer kernel's VMEM need (sized
         # exactly as its vmem_limit computation below) cannot fit even at
@@ -1008,6 +1028,20 @@ def hex_conv_stack_pallas(x, kernels, biases=None, *, radius: int,
                                   statics)
         if c0 <= 128 and 128 % c0 == 0 and hh % 2 == 0:
             q = 128 // c0
+            if not _same_meta_feasible(radius, dilation, q):
+                # the folded 'same' padding d*(radius-1) reaches past the
+                # plane layout's 1-row/1-col top/left margin (deep
+                # dilation/radius): run the equivalent XLA chain
+                if packed_io:
+                    raise ValueError(
+                        f"packed_io planes cannot represent radius="
+                        f"{radius}, dilation={dilation} at q={q} (the "
+                        f"'same' padding exceeds the plane margin)")
+                statics = (radius, dilation, activation, final_activation,
+                           fused, batch_group, norm_kinds, None,
+                           data_format, None, split)
+                return _stack_xla((x, x2) if split else x, kernels,
+                                  biases, norm_arrays, statics)
             h2, wp, rows_tot, cols_tot = plane_geometry(
                 radius, dilation, q, hh, ww)
             blk = rows_tot * cols_tot * 128 * dt_size
@@ -1122,7 +1156,7 @@ def _stack_xla(x, kernels, biases, norm_arrays, statics):
     L = len(kernels)
     for i, (k, bs) in enumerate(zip(kernels, biases)):
         h = F.hex_conv2d(h, k, bs, even_odd_offset=0, radius=radius,
-                         padding=radius - 1, dilation=dilation,
+                         padding=dilation * (radius - 1), dilation=dilation,
                          impl="packed")
         kind = norm_kinds[i]
         if kind is not None:
@@ -1141,6 +1175,22 @@ def _stack_xla(x, kernels, biases, norm_arrays, statics):
 
 
 def _stack_bwd(statics, res, g):
+    """Stack pullback.  The Pallas forward kernels cannot be differentiated
+    through their in-place aliasing, so the VJP is built by hand (see
+    ``_stack_bwd_pallas``): dL/dx is itself a packed-domain 'same' conv
+    with slot-transposed metadata, dL/dW is a per-slot ``x_blk^T @ g``
+    matmul — both run as one combined Pallas kernel per layer, with the
+    bias/GroupNorm/ReLU tail differentiated as a tiny XLA closure.  This
+    replaced the round-2 fallback (re-differentiating the equivalent
+    pure-XLA packed chain), which ran the whole backward at XLA-twin speed
+    (PERF.md: the ~10x train/inference gap's dominant term).  Configs the
+    hand path does not cover (banded >VMEM tier, fused=True, non-ReLU
+    activations) still pull back through the XLA twin, as does
+    ``HYGRID_STACK_BWD=xla``."""
+    if _stack_bwd_mode() != "xla":
+        out = _stack_bwd_pallas(statics, res, g)
+        if out is not None:
+            return out
     x, kernels, biases, norm_arrays = res
     _, vjp = jax.vjp(
         lambda xx, kk, bb, nn_: _stack_xla(xx, kk, bb, nn_, statics),
@@ -1149,6 +1199,124 @@ def _stack_bwd(statics, res, g):
 
 
 _stack_ad.defvjp(_stack_fwd, _stack_bwd)
+
+
+def _stack_bwd_mode() -> str:
+    import os
+    return os.environ.get("HYGRID_STACK_BWD", "auto")
+
+
+def _phase_meta_transpose(radius: int, d: int, q: int):
+    """Adjoint metadata of the packed-domain 'same' conv.
+
+    Mechanical slot-level transpose of :func:`_phase_meta_same`: a forward
+    entry reading plane ``src`` at block offset ``(r0, sblk)`` to produce
+    output phase ``P`` becomes, in the pullback, an entry reading the
+    phase-``P`` cotangent planes at block offset ``(2 - r0, 2 - sblk)``
+    (both layouts put the interior base at (1, 1), so a read delta ``t``
+    transposes to ``-t``) to produce the plane-``src`` cotangent; slots
+    swap their lane groups (``qs <-> qo``) and keep their tap.  Adjoint
+    matrices are assembled from the in/out-channel-transposed kernel.
+
+    Returns ``(meta_dxe, meta_dxo, feasible)``; ``feasible`` is False when
+    a transposed offset would leave the plane margins (the hex window is
+    point-symmetric so in practice it never does, but the check keeps the
+    XLA fallback honest rather than miscompiling).
+    """
+    fwd_e, fwd_o = _phase_meta_same(radius, d, q)
+    slots = {0: {}, 1: {}}
+    for p, fwd in ((0, fwd_e), (1, fwd_o)):
+        for ((src, r0, sblk), entries) in fwd:
+            dst = slots[src].setdefault((p, 2 - r0, 2 - sblk), [])
+            for (qs, qo, tap) in entries:
+                dst.append((qo, qs, tap))
+    meta_dxe = sorted((k, sorted(v)) for k, v in slots[0].items())
+    meta_dxo = sorted((k, sorted(v)) for k, v in slots[1].items())
+    mb, mc = _plane_meta_margins(radius, d, q)
+    ok = all(0 <= r <= 1 + mb and 0 <= sb <= 1 + mc
+             for m in (meta_dxe, meta_dxo) for ((_p, r, sb), _) in m)
+    return meta_dxe, meta_dxo, ok
+
+
+def _stack_layer_bwd_kernel(xe_ref, xo_ref, ge_ref, go_ref, ae_ref, ao_ref,
+                            dxe_ref, dxo_ref, dme_ref, dmo_ref, *,
+                            meta_e, meta_o, tmeta_e, tmeta_o, h2: int,
+                            wp: int, bg: int, tail_cut: int):
+    """Combined per-layer backward: dL/dx AND dL/dM in one kernel.
+
+    Inputs: the layer's saved input planes (xe, xo), the pre-activation
+    cotangent planes (ge, go — already pulled back through
+    bias/norm/ReLU/mask, so their margins, slack and fake tail lanes are
+    zero), and the adjoint Kronecker matrices.  Outputs: the input
+    cotangent planes (aliased onto ge/go; all reads complete before the
+    stores) and the per-slot weight-gradient blocks ``dme/dmo``, f32,
+    accumulated IN VMEM across the sequential batch grid (their out-spec
+    maps every grid step to block 0).
+
+    dL/dM_idx = x_blk(idx)^T @ g_interior — the exact transpose of the
+    forward's ``x_blk @ M_idx`` — and dL/dx is the adjoint conv over the
+    transposed metadata.  Executed-FLOP cost is exactly 2x the forward
+    layer, all from VMEM-resident planes (the point: the round-2 XLA-twin
+    backward re-read HBM per slot term).
+    """
+    lanes = dxe_ref.shape[-1]
+    n = bg * h2 * wp
+    first = pl.program_id(0) == 0
+
+    # ---- dM: one (128, lanes) matmul per forward slot entry ----
+    for meta, dmref, gref in ((meta_e, dme_ref, ge_ref),
+                              (meta_o, dmo_ref, go_ref)):
+        gblk = gref[0:bg, 1:1 + h2, 1:1 + wp, :].reshape(n, lanes)
+        for idx, ((src, r0, sblk), _) in enumerate(meta):
+            ref = xe_ref if src == 0 else xo_ref
+            xblk = ref[0:bg, r0:r0 + h2, sblk:sblk + wp, :].reshape(n, lanes)
+            dm = lax.dot_general(xblk, gblk, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+
+            @pl.when(first)
+            def _(dmref=dmref, idx=idx, dm=dm):
+                dmref[idx] = dm
+
+            @pl.when(jnp.logical_not(first))
+            def _(dmref=dmref, idx=idx, dm=dm):
+                dmref[idx] = dmref[idx] + dm
+
+    # ---- dx: the adjoint conv ----
+    accs = []
+    for tmeta, aref in ((tmeta_e, ae_ref), (tmeta_o, ao_ref)):
+        acc = jnp.zeros((n, lanes), jnp.float32)
+        for idx, ((gsrc, r0, sblk), _) in enumerate(tmeta):
+            ref = ge_ref if gsrc == 0 else go_ref
+            blk = ref[0:bg, r0:r0 + h2, sblk:sblk + wp, :]
+            acc = acc + jnp.dot(blk.reshape(n, lanes), aref[idx],
+                                preferred_element_type=jnp.float32)
+        acc = acc.reshape(bg, h2, wp, lanes)
+        if tail_cut:
+            col_ids = lax.broadcasted_iota(jnp.int32, (wp, lanes), 0)
+            lane_ids = lax.broadcasted_iota(jnp.int32, (wp, lanes), 1)
+            keep = ~((col_ids == wp - 1) & (lane_ids >= tail_cut))
+            acc = acc * keep.astype(acc.dtype)[None, None]
+        accs.append(acc)
+
+    # all reads done; write full blocks (same margin discipline as the
+    # forward layer kernel — correctness must not depend on the aliasing
+    # being physical)
+    rows_tot, cols_tot = dxe_ref.shape[1], dxe_ref.shape[2]
+
+    def store_full(dst, val):
+        dt = dst.dtype
+        dst[0:bg, 1:1 + h2, 1:1 + wp, :] = val.astype(dt)
+        dst[0:bg, 0:1] = jnp.zeros((bg, 1, cols_tot, lanes), dt)
+        if rows_tot > 1 + h2:
+            dst[0:bg, 1 + h2:rows_tot] = jnp.zeros(
+                (bg, rows_tot - 1 - h2, cols_tot, lanes), dt)
+        dst[0:bg, 1:1 + h2, 0:1, :] = jnp.zeros((bg, h2, 1, lanes), dt)
+        if cols_tot > 1 + wp:
+            dst[0:bg, 1:1 + h2, 1 + wp:cols_tot, :] = jnp.zeros(
+                (bg, h2, cols_tot - 1 - wp, lanes), dt)
+
+    store_full(dxe_ref, accs[0])
+    store_full(dxo_ref, accs[1])
 
 
 def _stack_impl(x, kernels, biases, norm_arrays, statics):
@@ -1400,3 +1568,351 @@ def _stack_impl(x, kernels, biases, norm_arrays, statics):
         return xe, xo
     return unpack_planes((xe, xo), w=w, cout=chans[-1], radius=radius,
                          dilation=d, nhwc=nhwc)
+
+
+# ---------------------------------------------------------------------------
+# Hand-written stack backward (round 3): Pallas dL/dx + dL/dW per layer.
+# ---------------------------------------------------------------------------
+
+def _interior_mask_np(rows_tot: int, cols_tot: int, h2: int, wp: int,
+                      tail_cut: int):
+    """(rows_tot, cols_tot, 128) f32: 1 at interior real pixels, 0 at the
+    margins/slack and at the fake tail lanes of the last packed column —
+    the trace-time constant the post closures mask with (exactly the
+    positions the layer kernels zero in-kernel)."""
+    import numpy as _np
+    m = _np.zeros((rows_tot, cols_tot, 128), _np.float32)
+    m[1:1 + h2, 1:1 + wp, :] = 1.0
+    if tail_cut:
+        m[1:1 + h2, wp, tail_cut:] = 0.0
+    return m
+
+
+def _make_post(kind, relu_i: bool, cout: int, q: int, n_pixels: int, mask,
+               dtype):
+    """The differentiable tail of one stack layer, on margined planes:
+    ``planes = mask * act(norm((pre + bias) * mask))`` — bit-matching the
+    fused kernel's epilogue (tail mask before GN statistics, exact valid
+    count, eps 1e-5, re-mask after the norm's shift).  ``jax.vjp`` of this
+    closure yields the pre-activation cotangent plus d(bias)/d(gamma)/
+    d(beta); the conv itself is pulled back by the Pallas bwd kernel."""
+    def post(pre_pair, bvec, arrs):
+        pe, po = pre_pair
+        f32 = jnp.float32
+        ze = (pe.astype(f32) + bvec) * mask
+        zo = (po.astype(f32) + bvec) * mask
+        if kind is not None and kind[0] == "gn":
+            groups = kind[1]
+            gamma, beta = arrs
+            cpg = cout // groups
+            import numpy as _np
+            lane_g = (_np.arange(128) % cout) // cpg
+            onehot = jnp.asarray(
+                (lane_g[None, :] == _np.arange(groups)[:, None])
+                .astype(_np.float32))                       # (G, 128)
+            cnt = float(n_pixels * cpg)
+            s = ze.sum((1, 2)) + zo.sum((1, 2))             # (b, 128)
+            ss = (ze * ze).sum((1, 2)) + (zo * zo).sum((1, 2))
+            mu = (s @ onehot.T) / cnt                       # (b, G)
+            var = jnp.maximum((ss @ onehot.T) / cnt - mu * mu, 0.0)
+            inv = lax.rsqrt(var + 1e-5)
+            mu_l = mu @ onehot                              # (b, 128)
+            inv_l = inv @ onehot
+            gamma_l = jnp.tile(gamma.astype(f32), q)
+            beta_l = jnp.tile(beta.astype(f32), q)
+            scale = inv_l * gamma_l[None]
+            shift = beta_l[None] - mu_l * scale
+            ze = ze * scale[:, None, None, :] + shift[:, None, None, :]
+            zo = zo * scale[:, None, None, :] + shift[:, None, None, :]
+        elif kind is not None:                              # "affine"
+            scale, shift = arrs
+            scale_l = jnp.tile(scale.astype(f32), q)[None, None, None]
+            shift_l = jnp.tile(shift.astype(f32), q)[None, None, None]
+            ze = ze * scale_l + shift_l
+            zo = zo * scale_l + shift_l
+        if relu_i:
+            ze = jnp.maximum(ze, 0.0)
+            zo = jnp.maximum(zo, 0.0)
+        ze = ze * mask
+        zo = zo * mask
+        return ze.astype(dtype), zo.astype(dtype)
+    return post
+
+
+def _launch_layer_pre(planes, me, mo, *, meta_e, meta_o, h2, wp, rows_tot,
+                      cols_tot, bg, tail_cut, dtype, planes_b=None,
+                      me2=None, mo2=None):
+    """Forward recompute of ONE layer's raw conv pre-activation (no bias /
+    norm / activation) via the standard layer kernel — un-aliased: the
+    input planes stay live (the bwd kernel needs them for dL/dW)."""
+    lanes = 128
+    split = planes_b is not None
+    kfn = functools.partial(
+        _stack_layer_kernel, meta_e=meta_e, meta_o=meta_o, h2=h2,
+        wp_out=wp, relu=False, has_bias=False, tail_cut=tail_cut, bg=bg,
+        norm=None, gn_groups=1, c_out=0, n_pixels=0, split=split)
+    b = planes[0].shape[0]
+    blk_bytes = rows_tot * cols_tot * lanes * dtype.itemsize
+    plane_spec = pl.BlockSpec((bg, rows_tot, cols_tot, lanes),
+                              lambda i: (i, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    mspec = pl.BlockSpec((len(meta_e), lanes, lanes), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    mspec_o = pl.BlockSpec((len(meta_o), lanes, lanes), lambda i: (0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    in_specs = [plane_spec, plane_spec]
+    inputs = [planes[0], planes[1]]
+    if split:
+        in_specs += [plane_spec, plane_spec]
+        inputs += [planes_b[0], planes_b[1]]
+    in_specs += [mspec, mspec_o]
+    inputs += [me, mo]
+    if split:
+        in_specs += [mspec, mspec_o]
+        inputs += [me2, mo2]
+    in_specs += [
+        pl.BlockSpec((1, lanes), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, lanes), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    inputs += [jnp.zeros((1, lanes), dtype), jnp.zeros((2, lanes),
+                                                       jnp.float32)]
+    return pl.pallas_call(
+        kfn,
+        grid=(b // bg,),
+        in_specs=in_specs,
+        out_specs=[plane_spec, plane_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, rows_tot, cols_tot, lanes), dtype),
+            jax.ShapeDtypeStruct((b, rows_tot, cols_tot, lanes), dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(min(110 * 2 ** 20, max(
+                28 * 2 ** 20,
+                (6 if split else 4) * blk_bytes * bg
+                + 8 * bg * h2 * wp * lanes + 48 * 2 ** 20)))),
+        interpret=jax.default_backend() != "tpu",
+    )(*inputs)
+
+
+def _launch_layer_bwd(x_planes, g_planes, kern, *, radius, d, q, cin, cout,
+                      h2, wp, rows_tot, cols_tot, bg, tail_cut, dtype):
+    """dL/dx (planes) and dL/dkernel for one layer via the combined
+    Pallas bwd kernel; the dM Kronecker blocks are folded back to the flat
+    hex tap layout at trace level."""
+    lanes = 128
+    meta_e, meta_o = _phase_meta_same(radius, d, q)
+    tmeta_e, tmeta_o, ok = _phase_meta_transpose(radius, d, q)
+    assert ok  # caller verified feasibility
+    kt = jnp.transpose(kern, (1, 0, 2))
+    ae = _assemble_mats(kt, tmeta_e, q, cout, cin, dtype)
+    ao = _assemble_mats(kt, tmeta_o, q, cout, cin, dtype)
+    b = x_planes[0].shape[0]
+    blk_bytes = rows_tot * cols_tot * lanes * dtype.itemsize
+    kfn = functools.partial(
+        _stack_layer_bwd_kernel, meta_e=meta_e, meta_o=meta_o,
+        tmeta_e=tmeta_e, tmeta_o=tmeta_o, h2=h2, wp=wp, bg=bg,
+        tail_cut=tail_cut)
+    plane_spec = pl.BlockSpec((bg, rows_tot, cols_tot, lanes),
+                              lambda i: (i, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+
+    def mspec(n):
+        return pl.BlockSpec((n, lanes, lanes), lambda i: (0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    dxe, dxo, dme, dmo = pl.pallas_call(
+        kfn,
+        grid=(b // bg,),
+        in_specs=[plane_spec, plane_spec, plane_spec, plane_spec,
+                  mspec(len(tmeta_e)), mspec(len(tmeta_o))],
+        out_specs=[plane_spec, plane_spec,
+                   mspec(len(meta_e)), mspec(len(meta_o))],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, rows_tot, cols_tot, lanes), dtype),
+            jax.ShapeDtypeStruct((b, rows_tot, cols_tot, lanes), dtype),
+            jax.ShapeDtypeStruct((len(meta_e), lanes, lanes), jnp.float32),
+            jax.ShapeDtypeStruct((len(meta_o), lanes, lanes), jnp.float32),
+        ],
+        input_output_aliases={2: 0, 3: 1},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(min(110 * 2 ** 20, max(
+                28 * 2 ** 20,
+                6 * blk_bytes * bg + 8 * bg * h2 * wp * lanes
+                + 48 * 2 ** 20)))),
+        interpret=jax.default_backend() != "tpu",
+    )(x_planes[0], x_planes[1], g_planes[0], g_planes[1], ae, ao)
+    dk = _fold_dmats(dme, dmo, meta_e, meta_o, q, cin, cout)
+    return (dxe, dxo), dk
+
+
+def _fold_dmats(dme, dmo, meta_e, meta_o, q: int, c: int, co: int):
+    """Fold the per-slot dM Kronecker blocks back to the flat hex kernel
+    gradient (Cout, Cin, taps) — the trace-time transpose of
+    :func:`_assemble_mats`'s scatter."""
+    import numpy as _np
+    n_taps = max(tap for m in (meta_e, meta_o)
+                 for (_, entries) in m for (_qs, _qo, tap) in entries) + 1
+    parts = []
+    for meta, dm in ((meta_e, dme), (meta_o, dmo)):
+        idxs, qss, qos, taps = [], [], [], []
+        for idx, (_, entries) in enumerate(meta):
+            for (qs, qo, tap) in entries:
+                idxs.append(idx)
+                qss.append(qs)
+                qos.append(qo)
+                taps.append(tap)
+        dm5 = dm.reshape(len(meta), q, c, q, co)
+        blocks = dm5[_np.asarray(idxs), _np.asarray(qss), :,
+                     _np.asarray(qos), :]                   # (E, c, co)
+        onehot = jnp.asarray(_np.eye(n_taps, dtype=_np.float32)[
+            _np.asarray(taps)])                             # (E, n_taps)
+        parts.append(jnp.einsum("ecd,et->dct", blocks, onehot))
+    return parts[0] + parts[1]
+
+
+def _stack_bwd_pallas(statics, res, g):
+    """Hand-written pullback of ``_stack_impl`` (see ``_stack_bwd``).
+    Returns None for configs it does not cover (the caller then falls
+    back to re-differentiating the XLA twin)."""
+    (radius, dilation, activation, final_activation, fused, batch_group,
+     norm_kinds, band_rows) = statics[:8]
+    nhwc = len(statics) > 8 and statics[8] == "NHWC"
+    packed_meta = statics[9] if len(statics) > 9 else None
+    split = len(statics) > 10 and statics[10]
+    if fused or band_rows is not None:
+        return None
+    if activation not in ("relu", None, "none"):
+        return None
+    x, kernels, biases, norm_arrays = res
+    x_b = None
+    if split:
+        x, x_b = x
+    d = dilation
+    if packed_meta is not None:
+        w, c0 = int(packed_meta[0]), int(packed_meta[1])
+        h2 = x[0].shape[1] - 1 - _plane_row_margin(radius, d)
+        h = 2 * h2
+        dtype = x[0].dtype
+    elif nhwc:
+        _, h, w, c0 = x.shape
+        dtype = x.dtype
+    else:
+        _, c0, h, w = x.shape
+        dtype = x.dtype
+    chans = [int(c0)] + [int(k.shape[0]) for k in kernels]
+    if any(not (ci <= 128 and 128 % ci == 0) for ci in chans):
+        return None
+    if len({128 // ci for ci in chans}) != 1:
+        return None
+    q = 128 // chans[0]
+    _, _, t_ok = _phase_meta_transpose(radius, d, q)
+    if not t_ok:
+        return None
+    h2, wp, rows_tot, cols_tot = plane_geometry(radius, d, q, h, w)
+    blk_bytes = rows_tot * cols_tot * 128 * dtype.itemsize
+    if 6 * blk_bytes + 8 * h2 * wp * 128 + 16 * 2 ** 20 > _STACK_VMEM_BUDGET:
+        return None
+
+    bg = 1
+    b = x[0].shape[0] if packed_meta is not None else x.shape[0]
+    for cand in (4, 2):
+        if b % cand == 0 and 2 * blk_bytes * cand <= 2 ** 22:
+            bg = cand
+            break
+
+    meta_e, meta_o = _phase_meta_same(radius, d, q)
+    tail_cut = (w % q) * chans[0] if (w % q) else 0
+    mask = jnp.asarray(_interior_mask_np(rows_tot, cols_tot, h2, wp,
+                                         tail_cut))
+    relu = activation == "relu"
+    L = len(kernels)
+
+    # ---- forward recompute: Pallas pre-activations + differentiable
+    # post closures (jax.vjp evaluates the forward NOW and hands back the
+    # pullback for the reverse sweep) ----
+    if packed_meta is not None:
+        planes = (jnp.asarray(x[0]), jnp.asarray(x[1]))
+    else:
+        planes = pack_planes(x, radius=radius, dilation=d, nhwc=nhwc)
+    planes_b = None
+    if split:
+        planes_b = pack_planes(x_b, radius=radius, dilation=d, nhwc=nhwc)
+
+    xs = [planes]
+    posts = []
+    for li, kern in enumerate(kernels):
+        cin, cout = chans[li], chans[li + 1]
+        is_split = split and li == 0
+        if is_split:
+            ka, kb = kern[:, :cin], kern[:, cin:]
+        else:
+            ka, kb = kern, None
+        me = _assemble_mats(ka, meta_e, q, cin, cout, dtype)
+        mo = _assemble_mats(ka, meta_o, q, cin, cout, dtype)
+        me2 = mo2 = None
+        if is_split:
+            me2 = _assemble_mats(kb, meta_e, q, cin, cout, dtype)
+            mo2 = _assemble_mats(kb, meta_o, q, cin, cout, dtype)
+        pre = _launch_layer_pre(
+            xs[li], me, mo, meta_e=meta_e, meta_o=meta_o, h2=h2, wp=wp,
+            rows_tot=rows_tot, cols_tot=cols_tot, bg=bg, tail_cut=tail_cut,
+            dtype=dtype, planes_b=planes_b if is_split else None,
+            me2=me2, mo2=mo2)
+        layer_relu = relu and (final_activation or li < L - 1)
+        post = _make_post(norm_kinds[li], layer_relu, cout, q, h * w, mask,
+                          dtype)
+        bvec = (jnp.tile(biases[li].astype(jnp.float32), q)
+                if biases[li] is not None else jnp.zeros((128,),
+                                                         jnp.float32))
+        arrs = norm_arrays[li]
+        xnext, vjp_fn = jax.vjp(post, pre, bvec, arrs)
+        posts.append(vjp_fn)
+        xs.append(xnext)
+
+    # ---- cotangent entry ----
+    if packed_meta is not None:
+        gp = (jnp.asarray(g[0]) * mask.astype(dtype),
+              jnp.asarray(g[1]) * mask.astype(dtype))
+    else:
+        gp = pack_planes(g, radius=radius, dilation=d, nhwc=nhwc)
+
+    dkernels, dbiases, dnorms = [None] * L, [None] * L, [None] * L
+    dx_b = None
+    for li in reversed(range(L)):
+        cin, cout = chans[li], chans[li + 1]
+        gpre, dbvec, darrs = posts[li](gp)
+        dnorms[li] = darrs
+        if biases[li] is not None:
+            dbiases[li] = dbvec.reshape(q, cout).sum(0).astype(
+                biases[li].dtype)
+        kern = kernels[li]
+        is_split = split and li == 0
+        if is_split:
+            ka, kb = kern[:, :cin], kern[:, cin:]
+            gp, dka = _launch_layer_bwd(
+                xs[li], gpre, ka, radius=radius, d=d, q=q, cin=cin,
+                cout=cout, h2=h2, wp=wp, rows_tot=rows_tot,
+                cols_tot=cols_tot, bg=bg, tail_cut=tail_cut, dtype=dtype)
+            dxb_planes, dkb = _launch_layer_bwd(
+                planes_b, gpre, kb, radius=radius, d=d, q=q, cin=cin,
+                cout=cout, h2=h2, wp=wp, rows_tot=rows_tot,
+                cols_tot=cols_tot, bg=bg, tail_cut=tail_cut, dtype=dtype)
+            dkernels[li] = jnp.concatenate([dka, dkb], axis=1).astype(
+                kern.dtype)
+            dx_b = unpack_planes(dxb_planes, w=w, cout=cin, radius=radius,
+                                 dilation=d, nhwc=nhwc).astype(x_b.dtype)
+        else:
+            gp, dk = _launch_layer_bwd(
+                xs[li], gpre, kern, radius=radius, d=d, q=q, cin=cin,
+                cout=cout, h2=h2, wp=wp, rows_tot=rows_tot,
+                cols_tot=cols_tot, bg=bg, tail_cut=tail_cut, dtype=dtype)
+            dkernels[li] = dk.astype(kern.dtype)
+
+    if packed_meta is not None:
+        dx = (gp[0].astype(dtype), gp[1].astype(dtype))
+    else:
+        dx = unpack_planes(gp, w=w, cout=chans[0], radius=radius,
+                           dilation=d, nhwc=nhwc).astype(x.dtype)
+    if split:
+        dx = (dx, dx_b)
+    return (dx, tuple(dkernels), tuple(dbiases), tuple(dnorms))
