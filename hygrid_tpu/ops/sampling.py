@@ -223,11 +223,17 @@ def apply_plan_auto(image, plan: "SamplePlan"):
         return apply_plan(image, plan)
     from ..kernels.resample_pallas import (apply_plan_pallas,
                                           pallas_resample_applicable)
-    n_lead = int(np.prod(image.shape[:-2])) if image.ndim > 2 else 1
+    lead = image.shape[:-2]
+    if all(isinstance(d, int) for d in lead):
+        n_lead = int(np.prod(lead)) if lead else 1
+    else:
+        # symbolic dims (jax.export shape polymorphism): the Pallas grid
+        # needs a concrete lead count, so those exports ride the XLA path
+        n_lead = None
     floaty = jnp.issubdtype(image.dtype, jnp.floating)
     if RESAMPLE_BACKEND == "pallas":
         return apply_plan_pallas(image, plan)
-    if (_jax.default_backend() == "tpu"
+    if (n_lead is not None and _jax.default_backend() == "tpu"
             and pallas_resample_applicable(plan, n_lead,
                                            image.dtype.itemsize)):
         if floaty:
