@@ -34,6 +34,7 @@ class HexConvTranspose2d(nn.Module):
     groups: int = 1
     use_bias: bool = False
     param_dtype: jnp.dtype = jnp.float32
+    data_format: str = "NCHW"
 
     @nn.compact
     def __call__(self, x):
@@ -52,7 +53,7 @@ class HexConvTranspose2d(nn.Module):
         return E.hex_conv_transpose2d(
             x, kernel, bias, even_odd_offset=self.even_odd_offset,
             radius=self.hexkernel_radius, stride=self.stride,
-            groups=self.groups)
+            groups=self.groups, data_format=self.data_format)
 
 
 class HexPixelShuffleUpsample(nn.Module):
@@ -180,16 +181,18 @@ class HexUNet(nn.Module):
             xl = unpack_planes(planes, w=wcur, cout=self.widths[-1],
                                radius=self.radius)
             for i, width in enumerate(reversed(self.widths[:-1])):
-                xc = jnp.moveaxis(xl, -1, 1)
                 if self.upsample == "transpose":
-                    xc = HexConvTranspose2d(
-                        in_channels=xc.shape[1], out_channels=width,
+                    # the matmul tconv is channels-last natively: no
+                    # NHWC<->NCHW round trip in the decoder hot loop
+                    xl = HexConvTranspose2d(
+                        in_channels=xl.shape[-1], out_channels=width,
                         even_odd_offset=0, hexkernel_radius=self.radius,
-                        stride=2, name=f"up{i}")(xc)
+                        stride=2, data_format="NHWC", name=f"up{i}")(xl)
                 else:
                     xc = HexPixelShuffleUpsample(channels=width, factor=2,
-                                                 name=f"up{i}")(xc)
-                xl = jnp.moveaxis(xc, 1, -1)
+                                                 name=f"up{i}")(
+                        jnp.moveaxis(xl, -1, 1))
+                    xl = jnp.moveaxis(xc, 1, -1)
                 skip = skips.pop()
                 xl = _crop_or_pad_to(xl, skip.shape[1:3], nhwc=True)
                 xl = HexConvStack(

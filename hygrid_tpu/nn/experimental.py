@@ -20,7 +20,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from .functional import (pad2d, _hex_kernel_rows, _merge_phases, _conv,
-                         _reduction)
+                         _mm_lane, _reduction)
 from ..ops.convert import heximage_to_type1, type1_to_heximage
 
 __all__ = [
@@ -133,7 +133,7 @@ def square_to_hex_conv2d_by_double_stride(x, kernel, *, padding: int = 0,
 
 def hex_conv_transpose2d(x, kernel, bias=None, *, even_odd_offset: int = 0,
                          radius: int, stride: int = 1, groups: int = 1,
-                         impl: str = "auto"):
+                         impl: str = "auto", data_format: str = "NCHW"):
     """Hex transposed convolution (archive codes:129-274).
 
     Semantics: zero-stuff the input onto an upsampled type-1 canvas
@@ -141,38 +141,62 @@ def hex_conv_transpose2d(x, kernel, bias=None, *, even_odd_offset: int = 0,
     run the standard dual-phase conv with stride (2, 2).
     ``kernel``: (O, C // groups, kernelnum).
 
-    ``impl="canvas"`` executes that literally.  ``impl="phase"`` (the
-    ``"auto"`` default) runs the numerically-derived phase decomposition
-    instead: the canvas is ~``1/stride^2`` dense, so the canvas conv
-    spends ~75% of its MACs on structural zeros at stride 2 — the phase
-    path regroups the taps that ever hit data into per-output-phase
-    sub-kernels applied DIRECTLY to the un-stuffed input (no canvas
-    materialisation, no zero MACs), bit-equal by construction and tested
-    against the canvas path.
+    ``impl="canvas"`` executes that literally.  ``impl="phase"`` runs the
+    numerically-derived phase decomposition instead: the canvas is
+    ~``1/stride^2`` dense, so the canvas conv spends ~75% of its MACs on
+    structural zeros at stride 2 — the phase path regroups the taps that
+    ever hit data into per-output-phase sub-kernels applied DIRECTLY to
+    the un-stuffed input (no canvas materialisation, no zero MACs),
+    bit-equal by construction and tested against the canvas path.
+
+    ``impl="matmul"`` evaluates the same phase plan as ONE tap matmul
+    plus reshape interleaves (see :func:`_hex_conv_transpose2d_matmul`).
+    Both executors measured within the same ~3-6 ms band on the HexUNet
+    decoder sizes on v5e — the op is XLA-relayout-bound, not FLOP-bound —
+    and the matmul executor's *backward* is much worse (strided-slice
+    VJPs lower to interior-pad scatter-adds), so ``"auto"`` stays on
+    ``"phase"`` (measured refusal, PERF.md round 3).
+
+    ``data_format="NHWC"`` takes and returns channels-last without the
+    wrapper transposes (the layout the matmul path uses internally).
     """
-    if impl not in ("auto", "phase", "canvas"):
+    if impl not in ("auto", "matmul", "phase", "canvas"):
         raise ValueError(f"unknown impl {impl!r}")
+    if data_format not in ("NCHW", "NHWC"):
+        raise ValueError(f"unknown data_format {data_format!r}")
+    nhwc = data_format == "NHWC"
+    x = jnp.asarray(x)
+    while x.ndim < 4:
+        x = x[None]
     if impl != "canvas":
-        x = jnp.asarray(x)
-        while x.ndim < 4:
-            x = x[None]
+        h, w = (x.shape[1], x.shape[2]) if nhwc else (x.shape[2], x.shape[3])
         s, r = stride, radius
         p = r - 1
-        h1p = s * x.shape[2] - s + 1 + 2 * p
-        w1p = 2 * s * x.shape[3] - s + 2 + (1 - s % 2) + 4 * p
+        h1p = s * h - s + 1 + 2 * p
+        w1p = 2 * s * w - s + 2 + (1 - s % 2) + 4 * p
         he = (h1p - (2 * r - 1)) // 2 + 1
         ho = (h1p - s - (2 * r - 1)) // 2 + 1
         wo = (w1p - 1 - s - (4 * r - 3)) // 2 + 1
         if he > 0 and ho > 0 and wo > 0:
-            return _hex_conv_transpose2d_phase(
-                x, kernel, bias, even_odd_offset=even_odd_offset,
-                radius=radius, stride=stride, groups=groups)
-        if impl == "phase":
-            raise ValueError("input too small for the phase path; use "
+            if impl == "matmul":
+                xl = x if nhwc else jnp.moveaxis(x, 1, -1)
+                out = _hex_conv_transpose2d_matmul(
+                    xl, kernel, bias, even_odd_offset=even_odd_offset,
+                    radius=radius, stride=stride, groups=groups)
+                return out if nhwc else jnp.moveaxis(out, -1, 1)
+            out = _hex_conv_transpose2d_phase(
+                jnp.moveaxis(x, -1, 1) if nhwc else x, kernel, bias,
+                even_odd_offset=even_odd_offset, radius=radius,
+                stride=stride, groups=groups)
+            return jnp.moveaxis(out, 1, -1) if nhwc else out
+        if impl in ("phase", "matmul"):
+            raise ValueError(f"input too small for the {impl} path; use "
                              "impl='canvas'")
-    return _hex_conv_transpose2d_canvas(
-        x, kernel, bias, even_odd_offset=even_odd_offset, radius=radius,
-        stride=stride, groups=groups)
+    out = _hex_conv_transpose2d_canvas(
+        jnp.moveaxis(x, -1, 1) if nhwc else x, kernel, bias,
+        even_odd_offset=even_odd_offset, radius=radius, stride=stride,
+        groups=groups)
+    return jnp.moveaxis(out, 1, -1) if nhwc else out
 
 
 def _hex_conv_transpose2d_canvas(x, kernel, bias=None, *,
@@ -393,6 +417,137 @@ def _hex_conv_transpose2d_phase(x, kernel, bias, *, even_odd_offset: int,
         arr = arr.transpose(2, 3, 4, 0, 5, 1).reshape(b_, o, Hm * s, Wm * s)
         outs.append(arr[:, :, :H, :W])
     return _merge_phases(outs[0], outs[1], bias)
+
+
+def _merge_phases_nhwc(ev, od, bias):
+    """:func:`functional._merge_phases` on channels-last arrays, as a
+    stack+reshape interleave (a contiguous concat copy) instead of strided
+    ``.at[::2].set`` writes — strided TPU stores lower to masked selects
+    and measured ~2x the traffic cost (PERF.md round 3)."""
+    pad_width = ev.shape[2] - od.shape[2]
+    if pad_width > 0:
+        ev = ev[:, :, :-pad_width]
+    elif pad_width < 0:
+        od = od[:, :, :pad_width]
+    he, ho = ev.shape[1], od.shape[1]
+    n = max(he, ho)
+    if he < n:
+        ev = jnp.pad(ev, ((0, 0), (0, n - he), (0, 0), (0, 0)))
+    if ho < n:
+        od = jnp.pad(od, ((0, 0), (0, n - ho), (0, 0), (0, 0)))
+    out = jnp.stack([ev, od], axis=2).reshape(
+        ev.shape[0], 2 * n, ev.shape[2], ev.shape[3])[:, :he + ho]
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+def _hex_conv_transpose2d_matmul(xl, kernel, bias, *, even_odd_offset: int,
+                                 radius: int, stride: int, groups: int):
+    """Phase-decomposed transposed conv as one tap matmul + reshape
+    interleaves (channels-last).
+
+    Same plan as :func:`_hex_conv_transpose2d_phase`, restructured for the
+    TPU memory system.  The conv-per-class executor (and a per-class
+    matmul variant) both measured ~3-5 ms on the HexUNet decoder sizes —
+    relayout-bound, not FLOP-bound (PERF.md round 3).  This executor:
+
+    1. contracts the input against ALL distinct surviving taps in ONE
+       f32-accumulated MXU matmul ``(B,H,W,C) @ (C, T*O)`` (input-sized,
+       the cheap side of an upsampling op; T=3 for the radius-2/stride-2
+       decoder case),
+    2. assembles every class as shifted *strided reads* of that tap
+       product summed on the VPU, and
+    3. interleaves classes and conv phases purely with stack+reshape
+       (contiguous concat copies) — no transposes, no strided writes.
+
+    ``xl``: (B, H, W, C); returns (B, H', W', O).
+    """
+    kernel = jnp.asarray(kernel)
+    b_, h, w, c = xl.shape
+    s, r = stride, radius
+    ks = 2 * r - 1
+    k_h, k_w = ks, 4 * r - 3
+    p = r - 1
+    o = kernel.shape[0]
+    cg, og = c // groups, o // groups
+    h1p = s * h - s + 1 + 2 * p
+    w1p = 2 * s * w - s + 2 + (1 - s % 2) + 4 * p
+    wv = w1p - 1 - s
+    sizes = (((h1p - k_h) // 2 + 1, (wv - k_w) // 2 + 1),
+             ((h1p - s - k_h) // 2 + 1, (wv - k_w) // 2 + 1))
+    plans = _transpose_phase_plan(radius, stride, even_odd_offset)
+    dt = kernel.dtype
+
+    used = sorted({t for cls in plans for info in cls.values()
+                   if info is not None for _, _, t in info[6]})
+    tap_pos = {t: n for n, t in enumerate(used)}
+    nt = len(used)
+    if groups == 1:
+        wcat = jnp.concatenate([kernel[:, :, t].T for t in used], axis=1)
+        y = _mm_lane(xl.astype(dt), wcat.astype(dt))
+    else:
+        gs = []
+        for g in range(groups):
+            wg = jnp.concatenate(
+                [kernel[g * og:(g + 1) * og, :, t].T for t in used], axis=1)
+            gs.append(_mm_lane(xl[..., g * cg:(g + 1) * cg].astype(dt),
+                               wg.astype(dt)).reshape(b_, h, w, nt, og))
+        y = jnp.concatenate(gs, -1)
+    y = y.reshape(b_, h, w, nt, o)
+
+    # one pad of the (input-sized) tap product covers every class's
+    # shifted slice range
+    pt = pb = pl_ = pr = 0
+    for cp, (H, W) in enumerate(sizes):
+        for ya in range(s):
+            for za in range(s):
+                info = plans[cp].get((ya, za))
+                Hq = len(range(ya, H, s))
+                Wq = len(range(za, W, s))
+                if info is None or Hq == 0 or Wq == 0:
+                    continue
+                ai, bi, aj, bj, ext_i, ext_j, _ = info
+                pt = max(pt, -bi)
+                pb = max(pb, ai * (Hq - 1) + bi + ext_i - h)
+                pl_ = max(pl_, -bj)
+                pr = max(pr, aj * (Wq - 1) + bj + ext_j - w)
+    if pt or pb or pl_ or pr:
+        y = jnp.pad(y, ((0, 0), (pt, pb), (pl_, pr), (0, 0), (0, 0)))
+
+    outs = []
+    for cp, (H, W) in enumerate(sizes):
+        Hm, Wm = -(-H // s), -(-W // s)
+        rows_cls = []
+        for ya in range(s):
+            cols_cls = []
+            for za in range(s):
+                info = plans[cp].get((ya, za))
+                Hq = len(range(ya, H, s))
+                Wq = len(range(za, W, s))
+                if info is None or Hq == 0 or Wq == 0:
+                    cols_cls.append(jnp.zeros((b_, Hm, Wm, o), dt))
+                    continue
+                ai, bi, aj, bj, ext_i, ext_j, taps = info
+                acc = None
+                for di, dj, tap in taps:
+                    rr = slice(bi + di + pt, bi + di + pt
+                               + ai * (Hq - 1) + 1, ai)
+                    cc = slice(bj + dj + pl_, bj + dj + pl_
+                               + aj * (Wq - 1) + 1, aj)
+                    v = y[:, rr, cc, tap_pos[tap], :]
+                    acc = v if acc is None else acc + v
+                if acc.shape[1] < Hm or acc.shape[2] < Wm:
+                    acc = jnp.pad(acc, ((0, 0), (0, Hm - acc.shape[1]),
+                                        (0, Wm - acc.shape[2]), (0, 0)))
+                cols_cls.append(acc)
+            row = (cols_cls[0] if s == 1 else
+                   jnp.stack(cols_cls, axis=3).reshape(b_, Hm, Wm * s, o))
+            rows_cls.append(row)
+        arr = (rows_cls[0] if s == 1 else
+               jnp.stack(rows_cls, axis=2).reshape(b_, Hm * s, Wm * s, o))
+        outs.append(arr[:, :H, :W, :])
+    return _merge_phases_nhwc(outs[0], outs[1], bias)
 
 
 def hex_pixel_shuffle(x, upscale_factor: int):

@@ -150,3 +150,43 @@ def test_transpose_impl_validation():
     k = np.ones((4, 4, 7), np.float32)
     with pytest.raises(ValueError, match="unknown impl"):
         E.hex_conv_transpose2d(x, k, radius=2, stride=2, impl="bogus")
+    with pytest.raises(ValueError, match="unknown data_format"):
+        E.hex_conv_transpose2d(x, k, radius=2, stride=2, data_format="NCWH")
+
+
+@pytest.mark.parametrize("r,s,off,g", [
+    (2, 2, 0, 1), (2, 2, 1, 1), (3, 2, 0, 1), (2, 3, 0, 1),
+    (1, 2, 0, 1), (2, 1, 0, 1), (2, 2, 0, 2),
+])
+def test_transpose_matmul_equals_canvas(r, s, off, g):
+    """The shifted-matmul executor of the phase plan (the ``auto``
+    default) matches the literal canvas formulation, forward and grad,
+    and its NHWC entry is bit-equal to its own NCHW entry."""
+    rng = np.random.default_rng(r * 10 + s + off)
+    kn = F.hex_kernel_num(r)
+    c, o = 4 * g, 4
+    x = jnp.asarray(rng.normal(size=(2, c, 10, 9)), jnp.float32)
+    k = jnp.asarray(rng.normal(0, 0.2, (o, c // g, kn)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(o,)), jnp.float32)
+    ref = E._hex_conv_transpose2d_canvas(
+        x, k, b, even_odd_offset=off, radius=r, stride=s, groups=g)
+    got = E.hex_conv_transpose2d(
+        x, k, b, even_odd_offset=off, radius=r, stride=s, groups=g,
+        impl="matmul")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    nhwc = E.hex_conv_transpose2d(
+        jnp.moveaxis(x, 1, -1), k, b, even_odd_offset=off, radius=r,
+        stride=s, groups=g, impl="matmul", data_format="NHWC")
+    np.testing.assert_array_equal(np.asarray(jnp.moveaxis(nhwc, -1, 1)),
+                                  np.asarray(got))
+
+    ga = jax.grad(lambda xx, kk: jnp.sum(E.hex_conv_transpose2d(
+        xx, kk, b, even_odd_offset=off, radius=r, stride=s, groups=g,
+        impl="matmul") ** 2), argnums=(0, 1))(x, k)
+    gb = jax.grad(lambda xx, kk: jnp.sum(E._hex_conv_transpose2d_canvas(
+        xx, kk, b, even_odd_offset=off, radius=r, stride=s,
+        groups=g) ** 2), argnums=(0, 1))(x, k)
+    for t1, t2 in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(t1), np.asarray(t2),
+                                   rtol=1e-4, atol=1e-4)
