@@ -29,21 +29,15 @@ from suite import _timeit  # airtight scan-based timing harness
 
 
 def _timeit_slope(f, *a, n=24):
-    """Two-point variant of ``_timeit``: the tunnel's per-call
-    dispatch+fetch cost (~30 ms) is constant in the scan length, so the
-    per-iteration device time is the slope between an n-iteration and a
-    2n-iteration scan — sub-millisecond stages need this, a single
-    amortised measurement would be dominated by 30/n ms.
-
-    The slope only resolves stages whose n-iteration total clears the
-    tunnel's run-to-run jitter (a few ms): stages faster than ~NOISE/n per
-    iteration are reported AT the resolution floor (an upper bound), never
-    as garbage near-zero times — callers should raise ``n`` for ultra-fast
-    stages (scan inputs are broadcast on-device, so large n is cheap)."""
+    """Since round 3, ``_timeit`` itself measures the (T(2n)-T(n))/n
+    slope — the tunnel's ~26 ms fixed dispatch+fetch cost cancels there —
+    so this wrapper only keeps the roofline's resolution floor: stages
+    faster than the tunnel's run-to-run jitter over n iterations are
+    reported AT the floor (an upper bound), never as garbage near-zero
+    times — callers raise ``n`` for ultra-fast stages (scan inputs are
+    derived on-device, so large n is cheap)."""
     NOISE_S = 3e-3
-    t1 = _timeit(f, *a, n=n)
-    t2 = _timeit(f, *a, n=2 * n)
-    return max(2 * t2 - t1, NOISE_S / n)
+    return max(_timeit(f, *a, n=n), NOISE_S / n)
 
 from hygrid_tpu import lattice
 from hygrid_tpu.ops import geometry, sampling
