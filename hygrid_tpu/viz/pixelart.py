@@ -18,6 +18,28 @@ from .render import ViewState, render_mosaic
 __all__ = ["Texture", "Window"]
 
 
+def _expand_files(files):
+    """Normalise a ``serve(files=...)`` argument to a sorted path list:
+    None -> None; a directory -> its raster files; a glob pattern -> its
+    matches; any iterable of paths -> as given."""
+    if files is None:
+        return None
+    if isinstance(files, (str, os.PathLike)):
+        import glob
+        path = os.fspath(files)
+        if os.path.isdir(path):
+            exts = (".png", ".jpg", ".jpeg", ".tif", ".tiff", ".bmp")
+            found = sorted(
+                os.path.join(path, f) for f in os.listdir(path)
+                if f.lower().endswith(exts))
+        else:
+            found = sorted(glob.glob(path))
+        if not found:
+            raise ValueError(f"serve(files={files!r}) matched no images")
+        return found
+    return [os.fspath(f) for f in files]
+
+
 class Texture:
     """Hex image wrapper mirroring ``texture.py:8-90``: grayscale -> 3
     channels, spatial dims padded to multiples of 4, hierarchy level."""
@@ -122,6 +144,24 @@ class Window:
         (x0, y0), (x1, y1) = from_xy, to_xy
         self.pan((x0 - x1) / self.width, (y1 - y0) / self.height)
 
+    def step_image(self, tex: Texture, files) -> bool:
+        """Consume a pending PgUp/PgDn delta: step ``tex.img_serial_number``
+        through ``files`` and :meth:`Texture.SwitchTexture` to the new one.
+
+        The reference produces ``delta_img_serialNum`` (-1 on PgUp, +1 on
+        PgDn, ``window.py:114-121``) but its snapshot ships no consumer —
+        this is the missing half: serial wraps around the file list (index
+        = serial % len(files)).  Returns True when the texture changed.
+        """
+        delta = self.delta_img_serialNum
+        if not delta or not files:
+            return False
+        self.delta_img_serialNum = 0
+        serial = (tex.img_serial_number + delta) % len(files)
+        tex.SwitchTexture(os.fspath(files[serial]))
+        tex.img_serial_number = serial   # SwitchTexture re-inits the Texture
+        return True
+
     def render_texture(self, tex: Texture) -> np.ndarray:
         """One frame: (3, height, width) uint8."""
         frame = render_mosaic(
@@ -141,8 +181,9 @@ class Window:
 
     # -- live interactive viewing (the C18 slot) --------------------------
 
-    def serve(self, tex: Texture, host: str = "127.0.0.1", port: int = 8142,
-              block: bool = True, quality: int = 85):
+    def serve(self, tex: Optional[Texture] = None, host: str = "127.0.0.1",
+              port: int = 8142, block: bool = True, quality: int = 85,
+              files=None):
         """Serve a LIVE interactive view over HTTP — the TPU-native stand-in
         for the reference's GLFW render loop (``window.py:46-77``) on
         GL-less hosts: open ``http://host:port/`` in any browser, pan with
@@ -154,6 +195,12 @@ class Window:
         Endpoints: ``/`` viewer page; ``/stream`` multipart MJPEG
         (re-rendered on every state change); ``/frame`` one JPEG;
         ``/event?key=w`` / ``/event?drag=x0,y0,x1,y1`` input events.
+
+        ``files`` enables the reference's multi-image browsing
+        (``window.py:114-121`` PgUp/PgDn stepping ``img_serialNumber``): a
+        list of paths, a directory, or a glob pattern; PgUp/PgDn in the
+        browser switch the served texture through :meth:`step_image`.  With
+        ``files`` given, ``tex`` may be omitted (starts at ``files[0]``).
 
         ``block=False`` starts the server on a daemon thread and returns it
         (tests drive it headlessly); the server object exposes
@@ -169,6 +216,13 @@ class Window:
             from PIL import Image as PILImage
         except ImportError as e:  # pragma: no cover
             raise ImportError("Window.serve needs PIL for JPEG frames") from e
+
+        files = _expand_files(files)
+        if tex is None:
+            if not files:
+                raise ValueError("serve() needs a Texture or files=")
+            tex = Texture(imgPath=os.fspath(files[0]))
+            tex.img_serial_number = 0
 
         window = self
         state_gen = [0]          # bumped on every input event
@@ -229,6 +283,8 @@ v.addEventListener('mousemove',e=>{{if(drag){{send('drag='+[...drag,e.offsetX,e.
                             window.drag((x0, y0), (x1, y1))
                     except ValueError:
                         pass                      # unbound key: ignore
+                    with lock:
+                        window.step_image(tex, files)
                     state_gen[0] += 1
                     self._ok("text/plain", b"ok")
                 elif url.path == "/stream":

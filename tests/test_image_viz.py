@@ -411,3 +411,54 @@ class TestLiveViewer:
             stream.close()
         finally:
             srv.shutdown()
+
+    def test_serve_multi_image_browsing(self, tmp_path):
+        """C18 multi-image story: PgUp/PgDn step img_serialNumber through a
+        served directory via Texture.SwitchTexture (window.py:114-121 emits
+        the delta; the reference snapshot ships no consumer — this is it)."""
+        import urllib.request
+        from hygrid_tpu.image.codecs import write_raster
+        from hygrid_tpu.viz.pixelart import Window
+
+        rng = np.random.default_rng(1)
+        for i, size in enumerate((12, 16, 20)):
+            write_raster(str(tmp_path / f"im{i}.png"),
+                         (rng.random((3, size, size)) * 255)
+                         .astype(np.uint8))
+        win = Window(48, 48)
+        srv = win.serve(port=0, block=False, files=str(tmp_path))
+        try:
+            base = f"http://127.0.0.1:{srv.server_port}"
+            f0 = urllib.request.urlopen(base + "/frame", timeout=60).read()
+            r = urllib.request.urlopen(base + "/event?key=pgdn",
+                                       timeout=10).read()
+            assert r == b"ok"
+            f1 = urllib.request.urlopen(base + "/frame", timeout=60).read()
+            assert f0 != f1                        # switched to im1
+            # wrap backwards: 1 -> 0
+            urllib.request.urlopen(base + "/event?key=pgup", timeout=10)
+            f2 = urllib.request.urlopen(base + "/frame", timeout=60).read()
+            assert f2 == f0
+        finally:
+            srv.shutdown()
+
+    def test_step_image_wraps_and_consumes_delta(self, tmp_path):
+        from hygrid_tpu.image.codecs import write_raster
+        from hygrid_tpu.viz.pixelart import Window, Texture
+
+        rng = np.random.default_rng(2)
+        paths = []
+        for i in range(3):
+            p = str(tmp_path / f"t{i}.png")
+            write_raster(p, (rng.random((3, 8 + 4 * i, 8)) * 255)
+                         .astype(np.uint8))
+            paths.append(p)
+        tex = Texture(imgPath=paths[0])
+        tex.img_serial_number = 0
+        win = Window(32, 32)
+        assert not win.step_image(tex, paths)      # no pending delta
+        win.key_event("pgup")                      # delta -1: wraps to 2
+        assert win.step_image(tex, paths)
+        assert tex.img_serial_number == 2
+        assert tex.texHeight == 16                 # t2 is 16 tall
+        assert win.delta_img_serialNum == 0        # consumed
