@@ -165,6 +165,9 @@ def pallas_resample_applicable(plan: SamplePlan, n_lead: int,
     dec = rowsep_decompose_cached(plan)
     if dec is None:
         return False
+    from .resample_shift import shift_decompose_cached
+    if shift_decompose_cached(plan) is not None:
+        return True         # shift executor: banded reach at any size
     if h * w * elem_bytes <= vmem_budget:
         return True
     _, band = _band_height(dec[0], h, tile_rows)
@@ -838,8 +841,21 @@ def _apply_plan_pallas_impl(image, plan: SamplePlan, tile_rows: int = 8,
     bc = int(np.prod(lead)) if lead else 1
     h, w = plan.src_shape
     esz = image.dtype.itemsize
+    # Executor choice: shift-structured plans (constant column stride) ride
+    # the bandwidth-bound shift-FMA kernel (resample_shift.py) — measured
+    # fastest wherever applicable (PERF.md round 4); the one-hot/periodic
+    # MXU tiers remain for general column patterns.
+    # HYGRID_RESAMPLE_IMPL in {auto, shift, periodic, onehot} for A/B.
+    import os
+    impl = os.environ.get("HYGRID_RESAMPLE_IMPL", "auto")
+    if impl in ("auto", "shift"):
+        from .resample_shift import shift_decompose_cached, apply_plan_shift
+        sgeo = shift_decompose_cached(plan)
+        if sgeo is not None:
+            return apply_plan_shift(image, plan, sgeo, tile_rows,
+                                    force_banded)
     geo = _launch_geometry(plan, bc, esz, tile_rows, force_banded)
-    if not force_banded:
+    if not force_banded and impl != "onehot":
         per = periodic_decompose(geo, plan.out_shape[0])
         if per is not None:
             return _apply_plan_periodic(image, plan, geo, *per)

@@ -382,13 +382,21 @@ def test_periodic_path_selected_and_exact(method, tol):
     from hygrid_tpu.ops import sampling
     from hygrid_tpu.kernels.resample_pallas import (
         _launch_geometry, periodic_decompose, apply_plan_pallas)
+    import os
     plan = _mk_plan("hex", method, (96, 128), (96, 128))
     g = _launch_geometry(plan, 6, 4)
     per = periodic_decompose(g, 96)
     assert per is not None and per[0] <= 2
     rng = np.random.default_rng(5)
     x = rng.random((2, 3, 96, 128)).astype(np.float32)
-    a = np.asarray(apply_plan_pallas(x, plan))
+    # pin the periodic tier: `auto` routes same-size plans to the shift
+    # executor (round 4), whose sequential-FMA sum order is ~1e-7, not
+    # bit-exact — this test's contract is the periodic tier's parity
+    os.environ["HYGRID_RESAMPLE_IMPL"] = "periodic"
+    try:
+        a = np.asarray(apply_plan_pallas(x, plan))
+    finally:
+        os.environ.pop("HYGRID_RESAMPLE_IMPL", None)
     b = np.asarray(sampling.apply_plan(x, plan))
     np.testing.assert_allclose(a, b, atol=tol)
 
@@ -696,3 +704,104 @@ def test_stack_vmem_autoroute():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
     np.testing.assert_allclose(np.asarray(got_gn), np.asarray(ref_gn),
                                atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Shift-structured executor (kernels/resample_shift.py)
+# ---------------------------------------------------------------------------
+
+def test_shift_decompose_detects_hot_plan_families():
+    """Every resample-hot plan family has a constant-stride column mapping:
+    same-size hex->rect (num=den=1), the north-star legs (num=den=1 -- only
+    rows change), rect 2:1 downsample (num=2), and the mosaic's zoom
+    upsample (den=zoom, exercised in test_shift_mosaic_exact below)."""
+    from hygrid_tpu.kernels.resample_shift import shift_decompose_cached
+    cases = [
+        ("hex", "linear", (96, 128), (96, 128)),
+        ("rect", "bilinear", (128, 128), (64, 128)),
+        ("hex", "linear", (64, 128), (128, 128)),
+        ("rect", "bilinear", (64, 64), (32, 32)),
+        ("hex", "nearest", (96, 128), (96, 128)),
+    ]
+    for kind, method, src, out in cases:
+        geo = shift_decompose_cached(_mk_plan(kind, method, src, out))
+        assert geo is not None, (kind, method, src, out)
+        assert len(geo.slots) <= 10
+
+
+@pytest.mark.parametrize("kind,method,src,out,lead", [
+    ("hex", "linear", (96, 128), (96, 128), (2, 3)),      # phase mode
+    ("rect", "bilinear", (128, 128), (64, 128), (3,)),    # dense, bc=3 pad
+    ("hex", "linear", (64, 128), (128, 128), (4, 3)),     # dense
+    ("rect", "bilinear", (64, 64), (32, 32), (2, 3)),     # num=2 planes
+])
+@pytest.mark.parametrize("force_banded", [False, True])
+def test_shift_executor_matches_xla(kind, method, src, out, lead,
+                                    force_banded):
+    from hygrid_tpu.ops import sampling
+    from hygrid_tpu.kernels.resample_shift import (shift_decompose_cached,
+                                                   apply_plan_shift)
+    plan = _mk_plan(kind, method, src, out)
+    assert shift_decompose_cached(plan) is not None
+    rng = np.random.default_rng(17)
+    x = jnp.asarray(rng.random(lead + src), jnp.float32)
+    a = np.asarray(apply_plan_shift(x, plan, force_banded=force_banded))
+    b = np.asarray(sampling.apply_plan(x, plan))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_shift_executor_bf16_and_grad():
+    """bf16 rides the same kernel (weights upcast in-kernel); the grad
+    flows through apply_plan_pallas's custom VJP like every other tier."""
+    from hygrid_tpu.ops import sampling
+    from hygrid_tpu.kernels.resample_pallas import apply_plan_pallas
+    from hygrid_tpu.kernels.resample_shift import shift_decompose_cached
+    plan = _mk_plan("hex", "linear", (48, 64), (48, 64))
+    assert shift_decompose_cached(plan) is not None
+    rng = np.random.default_rng(19)
+    xb = jnp.asarray(rng.random((2, 48, 64)), jnp.bfloat16)
+    a = np.asarray(apply_plan_pallas(xb, plan), np.float32)
+    b = np.asarray(sampling.apply_plan(xb, plan), np.float32)
+    np.testing.assert_allclose(a, b, atol=2e-2)
+    xf = xb.astype(jnp.float32)
+    g1 = jax.grad(lambda v: jnp.sum(apply_plan_pallas(v, plan) ** 2))(xf)
+    g2 = jax.grad(lambda v: jnp.sum(sampling.apply_plan(v, plan) ** 2))(xf)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
+
+
+def test_shift_mosaic_exact():
+    """The mosaic render plan (K=1 exact 0/1 select, den=zoom column
+    upsample) must round-trip bit-exactly through the shift executor."""
+    from hygrid_tpu.viz.render import mosaic_plan
+    from hygrid_tpu.ops.sampling import SamplePlan, apply_plan
+    from hygrid_tpu.kernels.resample_shift import (shift_decompose_cached,
+                                                   apply_plan_shift)
+    flat, mask = [np.asarray(v) for v in mosaic_plan(136, 240, 544, 960, 0)]
+    plan = SamplePlan(flat[None], mask[None].astype(np.float32),
+                      (136, 240), (544, 960), exact_select=True)
+    geo = shift_decompose_cached(plan)
+    assert geo is not None and geo.den == 4
+    rng = np.random.default_rng(23)
+    x = jnp.asarray((rng.random((3, 136, 240)) * 255), jnp.float32)
+    a = np.asarray(apply_plan_shift(x, plan))
+    b = np.asarray(apply_plan(x, plan))
+    assert (a == b).all()
+
+
+def test_shift_impl_env_pins_executor():
+    """HYGRID_RESAMPLE_IMPL=onehot must bypass both the shift and periodic
+    tiers (the A/B knob benchmarks/shift_ab.py relies on)."""
+    import os as _os
+    from hygrid_tpu.ops import sampling
+    from hygrid_tpu.kernels.resample_pallas import apply_plan_pallas
+    plan = _mk_plan("hex", "linear", (48, 64), (48, 64))
+    rng = np.random.default_rng(29)
+    x = jnp.asarray(rng.random((2, 48, 64)), jnp.float32)
+    b = np.asarray(sampling.apply_plan(x, plan))
+    for impl in ("shift", "onehot"):
+        _os.environ["HYGRID_RESAMPLE_IMPL"] = impl
+        try:
+            a = np.asarray(apply_plan_pallas(x, plan))
+        finally:
+            _os.environ.pop("HYGRID_RESAMPLE_IMPL", None)
+        np.testing.assert_allclose(a, b, atol=1e-5)
