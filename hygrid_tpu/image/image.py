@@ -37,11 +37,13 @@ class IMAGE:
     """
 
     def __init__(self, pathname: Optional[str] = None, data=None,
-                 geotrans=None, proj=None, backend: str = "pil"):
+                 geotrans=None, proj=None, backend: str = "pil",
+                 lazy: bool = False):
         if pathname is None and data is None:
             raise ValueError("pathname and data can not be None at the same time")
         if pathname is not None and data is not None:
             raise ValueError("pathname and data can not be Given at the same time")
+        self._reader = None
         if pathname is not None:
             self.path = pathname
             if not os.path.exists(pathname):
@@ -49,12 +51,34 @@ class IMAGE:
             ext = os.path.splitext(pathname)[1].lower()
             if ext in codecs.RASTER_EXTS:
                 self.filetype = 1
-                self._full, self.geotrans, self.proj = codecs.read_raster(
-                    pathname, backend if backend in ("pil", "cv2") else "pil")
+                if ext in (".tif", ".tiff") and backend != "cv2":
+                    # out-of-core handle: window reads come straight from
+                    # disk, like the reference's GDAL dataset
+                    # (Image.py:52-57, 89-107)
+                    try:
+                        from .window import TiffWindowReader
+                        self._reader = TiffWindowReader(pathname)
+                    except (ValueError, OSError):
+                        self._reader = None   # PIL-only TIFF variants
+                if self._reader is not None:
+                    self._full = None
+                    self.geotrans = self._reader.geotrans
+                    self.proj = self._reader.proj
+                    self.bands, self.height, self.width = self._reader.shape
+                else:
+                    self._full, self.geotrans, self.proj = codecs.read_raster(
+                        pathname,
+                        backend if backend in ("pil", "cv2") else "pil")
+                    self.bands, self.height, self.width = self._full.shape
                 if self.geotrans is None:
                     self.geotrans = (0, 1, 0, 0, 0, 1)
-                self.bands, self.height, self.width = self._full.shape
-                self.Image = self.LoadImageArray()
+                # `lazy=True` skips materialising the pixels (TPU-side
+                # extension: the reference eagerly reads the full raster at
+                # construction, Image.py:58); window reads / Tiles() then
+                # stream from disk and `.Image` stays None until the first
+                # full LoadImageArray().
+                self.Image = None if (lazy and self._reader is not None) \
+                    else self.LoadImageArray()
             else:
                 raise ValueError(f"unsupported file type {ext!r}")
         else:
@@ -77,20 +101,37 @@ class IMAGE:
                        w_range: Optional[int] = None,
                        h_range: Optional[int] = None) -> np.ndarray:
         """Windowed read (``Image.py:89-107``); like the reference, updates
-        height/width to the window size."""
+        height/width to the window size.  On a TIFF this is a true windowed
+        **disk** read (only intersecting strips/tiles are pread+decoded,
+        the reference's GDAL ``ReadAsArray`` behaviour); other formats
+        window the in-RAM array.  ``w_range``/``h_range`` are END indices
+        (matching the reference's width/height bookkeeping,
+        ``Image.py:103-104`` — its size-vs-end mixup is resolved toward
+        the bookkeeping; see DIVERGENCES.md)."""
         if w_range is None:
             w_range = self.width
         if h_range is None:
             h_range = self.height
-        out = self._full[:, h_range_start:h_range, w_range_start:w_range]
+        if self._reader is not None and self._full is None:
+            out = self._reader.read_window(
+                h_range_start, w_range_start,
+                h_range - h_range_start, w_range - w_range_start)
+        else:
+            out = np.ascontiguousarray(
+                self._full[:, h_range_start:h_range, w_range_start:w_range])
         self.width = w_range - w_range_start
         self.height = h_range - h_range_start
-        return np.ascontiguousarray(out)
+        return out
 
     def Tiles(self, tile: int = 2000):
         """Stream the raster as (row0, col0, array) tiles of ``tile``^2
         (implements the reference's declared-but-empty streaming interface,
-        ``Image.py:81-88``)."""
+        ``Image.py:81-88``).  With an open TIFF handle the tiles come
+        straight from disk — a raster larger than RAM streams with peak
+        memory ~ one tile + the reader's chunk cache."""
+        if self._reader is not None and self._full is None:
+            yield from self._reader.iter_tiles(tile)
+            return
         for r0 in range(0, self.height, tile):
             for c0 in range(0, self.width, tile):
                 yield r0, c0, self._full[:, r0:r0 + tile, c0:c0 + tile]

@@ -58,8 +58,34 @@ def _load_lib():
     lib.hg_write_raw.restype = ctypes.c_int32
     lib.hg_write_raw.argtypes = [ctypes.c_char_p, ctypes.c_void_p,
                                  ctypes.c_int64]
+    if hasattr(lib, "hg_lzw_decode"):       # round-4 addition
+        lib.hg_lzw_decode.restype = ctypes.c_int64
+        lib.hg_lzw_decode.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                                      ctypes.c_void_p, ctypes.c_int64]
     _lib = lib
     return lib
+
+
+def lzw_decode_native(data: bytes, expect: Optional[int] = None
+                      ) -> Optional[bytes]:
+    """TIFF-LZW decode through the C++ codec (~100x the pure-Python one);
+    None when the library is unavailable or the stream is corrupt (the
+    caller falls back to the Python twin, which raises a proper error).
+    ``expect`` sizes the output buffer when the caller knows the decoded
+    length (TIFF chunk geometry); otherwise the buffer grows on demand."""
+    lib = _load_lib()
+    if lib is None or not hasattr(lib, "hg_lzw_decode"):
+        return None
+    cap = (expect + 64) if expect else max(4 * len(data), 1 << 16)
+    while True:
+        dst = ctypes.create_string_buffer(cap)
+        n = lib.hg_lzw_decode(data, len(data), dst, cap)
+        if n >= 0:
+            return dst.raw[:n]
+        if n == -1 and cap < 1 << 31:       # undersized output buffer
+            cap *= 2
+            continue
+        return None                          # corrupt stream
 
 
 def native_available() -> bool:

@@ -182,6 +182,87 @@ void hg_loader_destroy(void* handle) {
   delete static_cast<Loader*>(handle);
 }
 
+// TIFF-variant LZW decode (Compression=5): MSB-first bit packing,
+// ClearCode 256, EOI 257, 9->12-bit codes with the TIFF "early change".
+// Exactly mirrors the pure-Python codec in image/codecs.py (_lzw_decode);
+// the Python side prefers this (~100x) and falls back when the library is
+// missing.  Returns bytes written, -1 if dst overflows, -2 on a corrupt
+// stream (the Python twin raises there).
+int64_t hg_lzw_decode(const uint8_t* src, int64_t n, uint8_t* dst,
+                      int64_t cap) {
+  static_assert(sizeof(int16_t) == 2, "");
+  int16_t prev[4096];
+  uint8_t suffix[4096], firstb[4096];
+  int32_t length[4096];
+  for (int i = 0; i < 256; ++i) {
+    prev[i] = -1;
+    suffix[i] = firstb[i] = (uint8_t)i;
+    length[i] = 1;
+  }
+  int next = 258, width = 9;
+  uint32_t buf = 0;
+  int nbits = 0;
+  int64_t pos = 0, out = 0;
+  int prevcode = -1;
+
+  auto emit = [&](int code) -> bool {
+    int32_t l = length[code];
+    if (out + l > cap) return false;
+    int c = code;
+    for (int32_t i = l - 1; i >= 0; --i) {
+      dst[out + i] = suffix[c];
+      c = prev[c];
+    }
+    out += l;
+    return true;
+  };
+
+  while (true) {
+    while (nbits < width) {
+      if (pos >= n) return out;
+      buf = (buf << 8) | src[pos++];
+      nbits += 8;
+    }
+    int code = (int)((buf >> (nbits - width)) & ((1u << width) - 1));
+    nbits -= width;
+    if (code == 257) return out;  // EOI
+    if (code == 256) {            // CLEAR
+      next = 258;
+      width = 9;
+      prevcode = -1;
+      continue;
+    }
+    if (prevcode < 0) {
+      if (code >= next || code >= 256) return -2;  // first code is a literal
+      if (!emit(code)) return -1;
+      prevcode = code;
+    } else if (code < next && code != 256 && code != 257) {
+      if (next < 4096) {
+        prev[next] = (int16_t)prevcode;
+        suffix[next] = firstb[code];
+        firstb[next] = firstb[prevcode];
+        length[next] = length[prevcode] + 1;
+        ++next;
+      }
+      if (!emit(code)) return -1;
+      prevcode = code;
+    } else if (code == next && next < 4096) {  // the KwKwK case
+      prev[next] = (int16_t)prevcode;
+      suffix[next] = firstb[prevcode];
+      firstb[next] = firstb[prevcode];
+      length[next] = length[prevcode] + 1;
+      ++next;
+      if (!emit(next - 1)) return -1;
+      prevcode = next - 1;
+    } else {
+      return -2;
+    }
+    if (next == 511) width = 10;
+    else if (next == 1023) width = 11;
+    else if (next == 2047) width = 12;
+  }
+}
+
 // Convenience: synchronous band-sequential raw raster write (used by the
 // Python side to materialise .hgraw files).
 int32_t hg_write_raw(const char* path, const void* data, int64_t nbytes) {
