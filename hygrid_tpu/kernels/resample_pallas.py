@@ -165,9 +165,9 @@ def pallas_resample_applicable(plan: SamplePlan, n_lead: int,
     dec = rowsep_decompose_cached(plan)
     if dec is None:
         return False
-    from .resample_shift import shift_decompose_cached
-    if shift_decompose_cached(plan) is not None:
-        return True         # shift executor: banded reach at any size
+    from .resample_shift import shift_prefers
+    if shift_prefers(plan, elem_bytes):
+        return True         # rides the shift executor's full path
     if h * w * elem_bytes <= vmem_budget:
         return True
     _, band = _band_height(dec[0], h, tile_rows)
@@ -841,17 +841,26 @@ def _apply_plan_pallas_impl(image, plan: SamplePlan, tile_rows: int = 8,
     bc = int(np.prod(lead)) if lead else 1
     h, w = plan.src_shape
     esz = image.dtype.itemsize
-    # Executor choice: shift-structured plans (constant column stride) ride
-    # the bandwidth-bound shift-FMA kernel (resample_shift.py) — measured
-    # fastest wherever applicable (PERF.md round 4); the one-hot/periodic
-    # MXU tiers remain for general column patterns.
-    # HYGRID_RESAMPLE_IMPL in {auto, shift, periodic, onehot} for A/B.
+    # Executor choice (HYGRID_RESAMPLE_IMPL in {auto, shift, periodic,
+    # onehot} for A/B).  Measured routing lives in shift_prefers
+    # (resample_shift.py): the shift-FMA kernel takes every
+    # constant-stride plan whose source fits VMEM; >VMEM sources fall
+    # through to the periodic/onehot MXU tiers (PERF.md round 4).
     import os
     impl = os.environ.get("HYGRID_RESAMPLE_IMPL", "auto")
     if impl in ("auto", "shift"):
-        from .resample_shift import shift_decompose_cached, apply_plan_shift
+        from .resample_shift import (shift_decompose_cached,
+                                     apply_plan_shift, shift_prefers)
         sgeo = shift_decompose_cached(plan)
-        if sgeo is not None:
+        take_shift = sgeo is not None and impl == "shift"
+        if (sgeo is not None and impl == "auto" and not force_banded
+                and shift_prefers(plan, esz)
+                # pure row-downsample: the incumbent MXU tiers measured
+                # faster (0.31 vs 0.40 ms on the 512->256 leg, PERF.md r4)
+                and not (sgeo.num == 1 and sgeo.den == 1
+                         and plan.out_shape[0] < plan.src_shape[0])):
+            take_shift = True
+        if take_shift:
             return apply_plan_shift(image, plan, sgeo, tile_rows,
                                     force_banded)
     geo = _launch_geometry(plan, bc, esz, tile_rows, force_banded)

@@ -140,6 +140,33 @@ def shift_decompose(plan: SamplePlan, max_shifts: int = _MAX_SHIFTS):
         wphase=wphase)
 
 
+def shift_prefers(plan: SamplePlan, esz: int) -> bool:
+    """Measured routing predicate (PERF.md round 4): the shift executor
+    wins wherever its (possibly pre-stretched / de-interleaved) source
+    fits resident in VMEM — 4K mosaic 2.0x, 720p video 2.0x, 256->512 leg
+    1.2-1.9x over the periodic/onehot tiers.  The >VMEM banded variant
+    measured SLOWER than the periodic tier (2.89 vs 1.94 ms, 4K hex->rect)
+    and requires sublane-padded batch groups, so banded sources fall
+    through to the incumbents in ``auto`` (impl="shift" still forces it)."""
+    geo = shift_decompose_cached(plan)
+    if geo is None:
+        return False
+    h, w = plan.src_shape
+    num, den = geo.num, geo.den
+    if den > 1:
+        w_eff = w * den
+    elif num > 1:
+        w_eff = -(-w // num)
+    else:
+        w_eff = w
+    a_min = min(a for _, _, a in geo.slots)
+    a_max = max(a for _, _, a in geo.slots)
+    w1p = -(-plan.out_shape[1] // 128) * 128
+    w_lane = -(-(max(0, -a_min) + max(w_eff, a_max + w1p)) // 128) * 128
+    n_planes = num if num > 1 else 1
+    return n_planes * h * w_lane * esz <= _VMEM_BUDGET
+
+
 _SHIFT_CACHE: dict = {}
 
 
@@ -296,14 +323,21 @@ def apply_plan_shift(image, plan: SamplePlan, geo: ShiftGeometry = None,
         tilelo, band = _band_height(rowbase, h, tr)
         want = max(1, _VMEM_BUDGET // max(1, 2 * n_planes * band
                                           * w_lane * esz))
+        # the band DMA requires a sublane-aligned group (gb=3 is a Mosaic
+        # compile error, round-4 A/B); small batches pad up — the
+        # dispatcher's shift_prefers() routes those to the periodic tier,
+        # this stays correct for explicit impl="shift"/force_banded
         gb = max(sub, (min(bc, want) // sub) * sub)
     else:
         tr = tile_rows
         h1p = -(-h1 // tr) * tr
         rowbase = np.pad(geo.rowbase, (0, h1p - h1), mode="edge")
         tilelo, band = np.zeros(1, np.int32), 0
-        gb = max(1, min(bc, 24 * 2**20 // max(1, n_planes * h
-                                              * w_lane * esz)))
+        want = max(1, min(bc, 24 * 2**20 // max(1, n_planes * h
+                                                 * w_lane * esz)))
+        # minimise batch padding: bc=48 with want=36 runs 2 groups of 24
+        # (zero pad), not 2 groups of 36 (1.5x wasted work)
+        gb = -(-bc // -(-bc // want))
     pad_bc = (-bc) % gb
     n_groups = (bc + pad_bc) // gb
     n_tiles = h1p // tr
