@@ -1,0 +1,75 @@
+"""Reliability + timing check of the banded single-op Pallas conv at the
+two round-3 Mosaic crash cells (VERDICT r3 item 6 done criterion:
+"impl='pallas' compiles and runs at C=32/256^2/b=32 and C=64/128^2/b=32
+reliably").  Each cell compiles in a FRESH subprocess (the crashes were
+intermittent compile-time failures, so same-process retries share a cache
+and prove nothing) and is timed against the best XLA impl.
+
+    python benchmarks/pallas_conv_band_check.py          # driver
+    python benchmarks/pallas_conv_band_check.py cell C CO H W B REP
+"""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CELLS = [(32, 32, 256, 256, 32), (64, 64, 128, 128, 32)]
+REPS = 3
+
+
+def run_cell(c, co, h, w, b, rep):
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from suite import _timeit
+    from hygrid_tpu.nn import functional as F
+
+    rng = np.random.default_rng(rep)
+    x = jnp.asarray(rng.random((b, c, h, w)), jnp.bfloat16)
+    k = jnp.asarray(rng.random((co, c, 7)) * 0.2, jnp.bfloat16)
+
+    def fp(v):
+        return F.hex_conv2d(v, k, even_odd_offset=0, radius=2, padding=1,
+                            impl="pallas")
+
+    def fx(v):
+        return F.hex_conv2d(v, k, even_odd_offset=0, radius=2, padding=1,
+                            impl="auto")
+
+    a = np.asarray(jax.jit(fp)(x), np.float32)
+    bb = np.asarray(jax.jit(fx)(x), np.float32)
+    err = float(np.abs(a - bb).max())
+    tp = _timeit(jax.jit(fp), x, n=16)
+    tx = _timeit(jax.jit(fx), x, n=16)
+    print(json.dumps({"cell": f"C{c}->{co} {h}x{w} b{b}", "rep": rep,
+                      "max_err": err, "pallas_ms": round(tp * 1e3, 3),
+                      "xla_ms": round(tx * 1e3, 3)}), flush=True)
+    assert err < 0.1, err
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "cell":
+        run_cell(*map(int, sys.argv[2:]))
+        sys.exit(0)
+    here = os.path.abspath(__file__)
+    fails = 0
+    for (c, co, h, w, b) in CELLS:
+        for rep in range(REPS):
+            r = subprocess.run(
+                [sys.executable, here, "cell", str(c), str(co), str(h),
+                 str(w), str(b), str(rep)],
+                capture_output=True, text=True, timeout=1500)
+            for line in r.stdout.splitlines():
+                if line.startswith("{"):
+                    print(line, flush=True)
+            if r.returncode != 0:
+                fails += 1
+                print(json.dumps({
+                    "cell": f"C{c}->{co} {h}x{w} b{b}", "rep": rep,
+                    "FAILED": r.stderr.strip()[-300:]}), flush=True)
+    print(json.dumps({"total_failures": fails,
+                      "verdict": "reliable" if fails == 0 else "UNSTABLE"}))

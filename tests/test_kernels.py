@@ -125,15 +125,15 @@ def test_applicability_predicate():
     assert not pallas_conv_applicable(16, 16, 2, 1)   # stride
     assert not pallas_conv_applicable(16, 16, 1, 2)   # groups
     assert not pallas_conv_applicable(5, 16, 1, 1)    # 128 % 5
-    # size fence: >2^24-element inputs are compile-unstable on the v5e
-    # toolchain (PERF.md round-3 sweep) and slower than XLA there
-    assert pallas_conv_applicable(16, 16, 1, 1, n_elements=2 ** 24)
-    assert not pallas_conv_applicable(16, 16, 1, 1, n_elements=2 ** 24 + 1)
+    # the round-3 >2^24 size fence is lifted (VERDICT r3 item 6): big
+    # inputs take the row-banded grid instead of falling back to XLA
+    assert pallas_conv_applicable(16, 16, 1, 1, n_elements=2 ** 24 + 1)
 
 
-def test_pallas_impl_size_fence_falls_back():
-    """impl='pallas' on a >2^24-element input must route to the XLA path
-    (no pallas_call in the jaxpr), not risk the unstable Mosaic compile."""
+def test_pallas_impl_large_input_rides_banded_kernel():
+    """impl='pallas' on a former fence-out size must now stay on the
+    Pallas path (the banded grid), not silently degrade to XLA
+    (VERDICT r3 item 6 / weak #5)."""
     x = jax.ShapeDtypeStruct((32, 32, 256, 256), jnp.bfloat16)   # 2^26 elems
     k = jax.ShapeDtypeStruct((32, 32, 7), jnp.bfloat16)
 
@@ -142,11 +142,34 @@ def test_pallas_impl_size_fence_falls_back():
                             impl="pallas")
 
     jaxpr = jax.make_jaxpr(f)(x, k)
-    assert "pallas_call" not in str(jaxpr)
-    # and a small input still takes the pallas kernel
+    assert "pallas_call" in str(jaxpr)
+    # and a small input still takes the full-plane pallas kernel
     xs = jax.ShapeDtypeStruct((1, 32, 64, 64), jnp.bfloat16)
     jaxpr_small = jax.make_jaxpr(f)(xs, k)
     assert "pallas_call" in str(jaxpr_small)
+
+
+@pytest.mark.parametrize("c,co,shape,offset", [
+    (16, 24, (2, 31, 40), 0),
+    (32, 32, (3, 34, 33), 1),
+    (128, 64, (1, 36, 40), 0),
+])
+def test_banded_single_op_conv_matches_full(c, co, shape, offset):
+    """The row-banded single-op kernel (band_rows=) must equal the
+    full-plane kernel and the direct XLA path, including at band sizes
+    that don't divide the output rows."""
+    from hygrid_tpu.kernels.conv_pallas import packed_hex_conv_pallas
+    rng = np.random.default_rng(c + co)
+    b, h, w = shape
+    x = jnp.asarray(rng.random((b, c, h, w)), jnp.float32)
+    k = jnp.asarray(rng.random((co, c, 7)) * 0.2, jnp.float32)
+    want = np.asarray(F.hex_conv2d(x, k, even_odd_offset=offset, radius=2,
+                                   padding=1, impl="direct"))
+    for tr in (4, 8, 16):
+        got = np.asarray(packed_hex_conv_pallas(
+            x, k, even_odd_offset=offset, radius=2, padding=1,
+            band_rows=tr))
+        np.testing.assert_allclose(got, want, atol=2e-4)
 
 
 def test_pallas_grad_flows():
