@@ -186,8 +186,8 @@ class TiffWindowReader:
                 self._cache.move_to_end(idx)
                 return hit
         a = self._decode(idx)
-        self.chunks_decoded += 1
         with self._lock:
+            self.chunks_decoded += 1
             if idx not in self._cache:
                 self._cache[idx] = a
                 self._cache_bytes += a.nbytes
@@ -197,11 +197,16 @@ class TiffWindowReader:
         return a
 
     # -- the windowed read --------------------------------------------------
-    def read_window(self, r0: int, c0: int, h: int, w: int) -> np.ndarray:
+    def read_window(self, r0: int, c0: int, h: int, w: int,
+                    threads: int = 4) -> np.ndarray:
         """Decode the ``(C, h, w)`` window anchored at pixel ``(r0, c0)``.
         The window is clamped to the raster; out-of-range rows/cols raise.
         This is the rebuild of GDAL's ``ReadAsArray(w_start, h_start,
-        w_range, h_range)`` (``Image.py:89-107``)."""
+        w_range, h_range)`` (``Image.py:89-107``).
+
+        Windows spanning several compressed chunks decode them on a small
+        thread pool (``threads``) — pread, zlib, and the native LZW codec
+        all release the GIL, so the decode parallelises."""
         if not (0 <= r0 and 0 <= c0 and r0 + h <= self.height
                 and c0 + w <= self.width and h > 0 and w > 0):
             raise ValueError(
@@ -212,6 +217,22 @@ class TiffWindowReader:
         ty0, ty1 = r0 // ch, (r0 + h - 1) // ch
         tx0, tx1 = c0 // cw, (c0 + w - 1) // cw
         bands = range(self.samples) if self.planar == 2 else (None,)
+        if self.compression != 1 and threads > 1:
+            need = []
+            for b in bands:
+                for ty in range(ty0, ty1 + 1):
+                    for tx in range(tx0, tx1 + 1):
+                        idx = ty * self._across + tx
+                        if b is not None:
+                            idx += b * self._per_plane
+                        with self._lock:
+                            cached = idx in self._cache
+                        if not cached:
+                            need.append(idx)
+            if len(need) > 3:
+                from concurrent.futures import ThreadPoolExecutor
+                with ThreadPoolExecutor(max_workers=threads) as pool:
+                    list(pool.map(self._chunk, need))
         for b in bands:
             for ty in range(ty0, ty1 + 1):
                 rows_lo = max(r0, ty * ch)
