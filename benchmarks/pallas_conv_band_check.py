@@ -68,8 +68,12 @@ if __name__ == "__main__":
                     print(line, flush=True)
             if r.returncode != 0:
                 fails += 1
+                err = r.stderr.strip()
+                key = [ln for ln in err.splitlines()
+                       if "Error" in ln or "error" in ln][:6]
                 print(json.dumps({
                     "cell": f"C{c}->{co} {h}x{w} b{b}", "rep": rep,
-                    "FAILED": r.stderr.strip()[-300:]}), flush=True)
+                    "FAILED": " | ".join(key)[:800] or err[:400]}),
+                    flush=True)
     print(json.dumps({"total_failures": fails,
                       "verdict": "reliable" if fails == 0 else "UNSTABLE"}))

@@ -62,9 +62,16 @@ def check():
 
 
 def legs():
-    """The north-star resample legs in isolation (bf16, lead (16, 3))."""
+    """The north-star resample legs in isolation (bf16, lead (16, 3)).
+
+    NOTE the actual bench.py legs hexify to (256, 256) — HALF-width hex
+    storage — so rect->hex is a num=2 column downsample and hex->rect a
+    den=2 upsample; the (256, 512) rows are the full-width variants kept
+    for continuity with the earlier round-4 A/Bs."""
     from hygrid_tpu.ops import sampling
     for name, plan in [
+        ("NS rect->hex 512^2->256^2 bilinear", _mk_plan("rect", "bilinear", (512, 512), (256, 256))),
+        ("NS hex->rect 256^2->512^2 linear", _mk_plan("hex", "linear", (256, 256), (512, 512))),
         ("rect->hex 512->256 bilinear", _mk_plan("rect", "bilinear", (512, 512), (256, 512))),
         ("hex->rect 256->512 linear", _mk_plan("hex", "linear", (256, 512), (512, 512))),
     ]:

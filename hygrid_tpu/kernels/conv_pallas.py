@@ -248,6 +248,14 @@ def _single_op_impl(x, kernel, parity, radius, dilation, band_rows):
     max_c = max(max(c0 for ((s, r, c0), _) in m) for m in (meta_e, meta_o))
     wp_out = -(-wo // q)
     src_wp = wp_out + max_c + 1
+    if band_rows is not None:
+        # the banded DMA slices the HBM plane along its second-minor dim;
+        # Mosaic requires that slice aligned to the sublane tiling
+        # ("Slice shape along dimension 2 must be aligned to tiling (8),
+        # but is 66" — the round-4 deterministic repro of the round-3
+        # 'intermittent' crashes)
+        align = max(8, 32 // x.dtype.itemsize)
+        src_wp = -(-src_wp // align) * align
     if src_wp * q > w:
         x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, src_wp * q - w)))
     else:

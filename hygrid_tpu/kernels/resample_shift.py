@@ -143,16 +143,23 @@ def shift_decompose(plan: SamplePlan, max_shifts: int = _MAX_SHIFTS):
 def shift_prefers(plan: SamplePlan, esz: int) -> bool:
     """Measured routing predicate (PERF.md round 4): the shift executor
     wins wherever its (possibly pre-stretched / de-interleaved) source
-    fits resident in VMEM — 4K mosaic 2.0x, 720p video 2.0x, 256->512 leg
-    1.2-1.9x over the periodic/onehot tiers.  The >VMEM banded variant
-    measured SLOWER than the periodic tier (2.89 vs 1.94 ms, 4K hex->rect)
-    and requires sublane-padded batch groups, so banded sources fall
-    through to the incumbents in ``auto`` (impl="shift" still forces it)."""
+    fits resident in VMEM AND the per-row work amortises the per-row
+    dynamic-index overhead — 4K mosaic 2.0x (w1=3840), 720p video 2.0x
+    (w1=640/1280), same-width legs 1.1-1.2x (w1=512).  Two measured
+    refusals: (1) the >VMEM banded variant is SLOWER than the periodic
+    tier (2.89 vs 1.94 ms, 4K hex->rect) and needs sublane-padded batch
+    groups, so banded sources fall through; (2) column-strided plans
+    (num>1 or den>1) at NARROW outputs lose to the one-hot MXU tier —
+    0.52 vs 0.28 ms (num=2, w1=256) and 0.48 vs 0.34 ms (den=2, w1=512)
+    on the true north-star legs — while the same families WIN from
+    w1=640 up (video), so strided plans require w1 >= 640."""
     geo = shift_decompose_cached(plan)
     if geo is None:
         return False
     h, w = plan.src_shape
     num, den = geo.num, geo.den
+    if (num > 1 or den > 1) and plan.out_shape[1] < 640:
+        return False
     if den > 1:
         w_eff = w * den
     elif num > 1:

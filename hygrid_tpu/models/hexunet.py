@@ -34,6 +34,7 @@ class HexConvTranspose2d(nn.Module):
     groups: int = 1
     use_bias: bool = False
     param_dtype: jnp.dtype = jnp.float32
+    dtype: jnp.dtype = None     # compute dtype; None = the input's
     data_format: str = "NCHW"
 
     @nn.compact
@@ -50,6 +51,14 @@ class HexConvTranspose2d(nn.Module):
         bias = (self.param("bias", nn.initializers.zeros,
                            (self.out_channels,), self.param_dtype)
                 if self.use_bias else None)
+        # cast params DOWN to the compute dtype: the executor computes in
+        # kernel.dtype, so f32 master params silently upcast a bf16 input
+        # and run the whole tconv at f32 (measured 2.55 vs 1.09 ms on the
+        # UNet up1 leg, PERF.md round 4)
+        cdt = self.dtype or x.dtype
+        kernel = kernel.astype(cdt)
+        if bias is not None:
+            bias = bias.astype(cdt)
         return E.hex_conv_transpose2d(
             x, kernel, bias, even_odd_offset=self.even_odd_offset,
             radius=self.hexkernel_radius, stride=self.stride,
@@ -63,12 +72,13 @@ class HexPixelShuffleUpsample(nn.Module):
     channels: int
     factor: int = 2
     param_dtype: jnp.dtype = jnp.float32
+    dtype: jnp.dtype = None     # compute dtype; None = the input's
 
     @nn.compact
     def __call__(self, x):
-        c = x.shape[1]
         expand = nn.Dense(self.channels * self.factor ** 2,
-                          param_dtype=self.param_dtype)
+                          param_dtype=self.param_dtype,
+                          dtype=self.dtype or x.dtype)
         x = jnp.moveaxis(expand(jnp.moveaxis(x, 1, -1)), -1, 1)
         return E.hex_pixel_shuffle(x, self.factor)
 

@@ -89,7 +89,8 @@ class HexViT(nn.Module):
             x = HexConv2d(in_channels=cin, out_channels=width,
                           even_odd_offset=0, hexkernel_radius=self.radius,
                           stride=2, padding=self.radius - 1,
-                          param_dtype=self.param_dtype, name=f"stem{i}")(x)
+                          param_dtype=self.param_dtype, dtype=self.dtype,
+                          name=f"stem{i}")(x)
             if i < len(widths) - 1:
                 x = nn.gelu(x)
             cin = width

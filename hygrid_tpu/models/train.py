@@ -80,8 +80,15 @@ def train_step(state: TrainState, images, labels):
     def loss_fn(params):
         logits, new_stats = _forward(state, params, images, train=True)
         logits = _class_axis_last(logits, labels)
-        loss = optax.softmax_cross_entropy_with_integer_labels(
-            logits, labels).mean()
+        # dense one-hot cross-entropy, NOT the integer-label form: the
+        # take_along_axis inside softmax_cross_entropy_with_integer_labels
+        # pulls back as a SCATTER into the logits, which lowers to XLA's
+        # slow scatter path on TPU — measured 7.3 ms of the HexUNet-512^2
+        # train step (21.7 -> 14.4 ms, PERF.md round 4); the one-hot
+        # multiply is dense elementwise both ways
+        onehot = jax.nn.one_hot(labels, logits.shape[-1],
+                                dtype=logits.dtype)
+        loss = optax.softmax_cross_entropy(logits, onehot).mean()
         return loss, (logits, new_stats)
 
     (loss, (logits, new_stats)), grads = jax.value_and_grad(

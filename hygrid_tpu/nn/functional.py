@@ -479,14 +479,18 @@ def hex_conv2d(x, kernel, bias=None, *, even_odd_offset: int = 0,
     parity = (even_odd_offset + padding) % 2
     s, d = stride, dilation
     if impl == "auto":
-        # single-op routing, measured on v5e (PERF.md impl sweep): the
-        # tap-concatenated matmul ("mxu") wins for C <= 64 (0.80 vs 1.13
-        # packed vs 2.45 direct ms at C=16 256^2); XLA's native conv
-        # ("direct") wins once the contraction is already wide (C > 64).
-        # Chains of 'same' convs should use hex_conv_stack_pallas, which
-        # packs once and beats any per-op path.
+        # single-op routing, measured on v5e (PERF.md impl sweep): at
+        # stride 1 the tap-concatenated matmul ("mxu") wins for C <= 64
+        # (0.80 vs 1.13 packed vs 2.45 direct ms at C=16 256^2); XLA's
+        # native conv ("direct") wins once the contraction is already wide
+        # (C > 64) — and at ANY stride > 1, where the mxu path's strided
+        # tap slices lower to relayouts (PERF.md round 4: the HexViT
+        # stride-2 stem measured mxu 9.28 / type1 3.28 / direct 0.30 ms at
+        # 3->24 @256^2 b32 — 30x for direct).  Chains of 'same' convs
+        # should use hex_conv_stack_pallas, which packs once and beats any
+        # per-op path.
         c = x.shape[1]
-        if groups == 1 and c <= 64:
+        if groups == 1 and c <= 64 and s == 1:
             impl = "mxu"
         else:
             impl = "direct"

@@ -57,6 +57,9 @@ class HexConv2d(nn.Module):
     padding_value: float = 0.0
     impl: str = "auto"
     param_dtype: jnp.dtype = jnp.float32
+    dtype: jnp.dtype = None     # compute dtype; None = promote with input
+                                # (flax convention: f32 master params make
+                                # the conv compute f32 unless dtype is set)
 
     @property
     def kernelnum(self) -> int:
@@ -84,8 +87,13 @@ class HexConv2d(nn.Module):
             self.bias = None
 
     def __call__(self, x):
+        kernel, bias = self.kernel, self.bias
+        if self.dtype is not None:
+            kernel = kernel.astype(self.dtype)
+            if bias is not None:
+                bias = bias.astype(self.dtype)
         return F.hex_conv2d(
-            x, self.kernel, self.bias,
+            x, kernel, bias,
             even_odd_offset=self.even_odd_offset,
             radius=self.hexkernel_radius, stride=self.stride,
             padding=self.padding, dilation=self.dilation, groups=self.groups,
