@@ -138,6 +138,32 @@ class TestModels:
         out = hexify_batch(x)
         assert out.shape == (4, 3, 16, 16)
 
+    def test_train_onehot_xent_equals_integer_form(self):
+        """train_step's dense one-hot cross-entropy (the TPU-fast form,
+        PERF.md round 4: the integer-label form's take_along_axis pulls
+        back as a 7.3 ms XLA scatter) must be mathematically identical to
+        optax's integer-label form — both loss value and gradient."""
+        import optax
+        rng = np.random.default_rng(7)
+        logits = jnp.asarray(rng.normal(size=(4, 6, 5, 3)).transpose(
+            0, 3, 1, 2), jnp.float32)  # (B, K, h, w)
+        labels = jnp.asarray(rng.integers(0, 3, (4, 6, 5)))
+
+        def li(lg):
+            lg = jnp.moveaxis(lg, 1, -1)
+            return optax.softmax_cross_entropy_with_integer_labels(
+                lg, labels).mean()
+
+        def lo(lg):
+            lg = jnp.moveaxis(lg, 1, -1)
+            onehot = jax.nn.one_hot(labels, lg.shape[-1], dtype=lg.dtype)
+            return optax.softmax_cross_entropy(lg, onehot).mean()
+
+        vi, gi = jax.value_and_grad(li)(logits)
+        vo, go = jax.value_and_grad(lo)(logits)
+        np.testing.assert_allclose(vi, vo, rtol=1e-6)
+        np.testing.assert_allclose(gi, go, rtol=1e-5, atol=1e-7)
+
 
 class TestParallel:
     def test_create_mesh_and_shard(self):
