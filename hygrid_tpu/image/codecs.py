@@ -202,16 +202,20 @@ def _pil_can_hold(array: np.ndarray) -> bool:
 
 def _write_tiff_nband(path: str, array: np.ndarray,
                       geotrans=None, proj=None, compress=True,
-                      tile: Optional[int] = None) -> None:
-    """Write (C, H, W) of any band count / sample type as a classic
-    little-endian TIFF with planar configuration 2 (band-sequential, the
-    GDAL per-band ``WriteArray`` layout) and the same geo tags as
-    :func:`write_raster`'s PIL path.
+                      tile: Optional[int] = None,
+                      bigtiff: Optional[bool] = None) -> None:
+    """Write (C, H, W) of any band count / sample type as a little-endian
+    TIFF with planar configuration 2 (band-sequential, the GDAL per-band
+    ``WriteArray`` layout) and the same geo tags as :func:`write_raster`'s
+    PIL path.
 
-    ``compress``: True/"deflate", False/"none", or "lzw" (the reference
-    writer's codec, ``HexImage.py:203``).  ``tile``: emit GDAL-style
-    TILED=YES layout with square tiles of this edge (multiple of 16)
-    instead of one strip per band."""
+    ``compress``: True/"deflate", False/"none", "lzw" (the reference
+    writer's codec, ``HexImage.py:203``) or "packbits".  ``tile``: emit
+    GDAL-style TILED=YES layout with square tiles of this edge (multiple
+    of 16) instead of one strip per band.  ``bigtiff``: force the BigTIFF
+    (version 43) container; default auto-switches when the payload nears
+    the classic 32-bit offset cap — the same transparent promotion GDAL
+    performs for the reference (``Image.py:52-57``)."""
     import struct
     import zlib
 
@@ -222,12 +226,13 @@ def _write_tiff_nband(path: str, array: np.ndarray,
     c, h, w = array.shape
 
     comp_name = {True: "deflate", False: "none"}.get(compress, compress)
-    if comp_name not in ("none", "deflate", "lzw"):
+    if comp_name not in ("none", "deflate", "lzw", "packbits"):
         raise ValueError(f"unsupported compression {compress!r}")
     enc = {"none": lambda raw: raw,
            "deflate": lambda raw: zlib.compress(raw, 6),
-           "lzw": _lzw_encode}[comp_name]
-    comp_tag = {"none": 1, "deflate": 8, "lzw": 5}[comp_name]
+           "lzw": _lzw_encode,
+           "packbits": _packbits_encode}[comp_name]
+    comp_tag = {"none": 1, "deflate": 8, "lzw": 5, "packbits": 32773}[comp_name]
     le = array.dtype.newbyteorder("<")
 
     strips = []
@@ -248,8 +253,17 @@ def _write_tiff_nband(path: str, array: np.ndarray,
         for b in range(c):
             strips.append(enc(array[b].astype(le).tobytes()))
 
+    if bigtiff is None:
+        # auto-promote like GDAL: payload + metadata headroom past the
+        # classic container's 32-bit offsets requires version 43
+        bigtiff = sum(len(s) + 1 for s in strips) + 65536 > 0xFFFFFFFF
+
     out = bytearray()
-    out += struct.pack("<2sHI", b"II", 42, 0)      # IFD offset patched later
+    if bigtiff:
+        # BigTIFF header: magic 43, offsetsize=8, pad=0, 8-byte IFD offset
+        out += struct.pack("<2sHHHQ", b"II", 43, 8, 0, 0)
+    else:
+        out += struct.pack("<2sHI", b"II", 42, 0)  # IFD offset patched later
     strip_offsets, strip_counts = [], []
     for s in strips:
         strip_offsets.append(len(out))
@@ -273,14 +287,23 @@ def _write_tiff_nband(path: str, array: np.ndarray,
         entries.append((tid, ttype, count, value))
 
     def shorts(values):
-        """Inline up to two SHORTs, otherwise an external block offset."""
-        if len(values) == 1:
-            return values[0]
-        if len(values) == 2:
-            return values[0] | (values[1] << 16)
+        """Inline SHORTs that fit the entry's value field (2 in classic,
+        4 in BigTIFF) packed little-endian into one int, otherwise an
+        external block offset.  MUST agree with the emitter's inline
+        threshold below: a count whose byte total fits inline is decoded
+        in-place by every reader, so an offset there would be read as
+        pixel-format garbage."""
+        if len(values) <= (4 if bigtiff else 2):
+            v = 0
+            for k, x in enumerate(values):
+                v |= int(x) << (16 * k)
+            return v
         return _aux("H", values)
 
     nchunks = len(strips)
+    # offsets/counts ride LONG8 (type 16) in a BigTIFF so chunk positions
+    # past 4 GiB are representable; everything else keeps classic types
+    otype, ofmt = (16, "Q") if bigtiff else (4, "I")
     tag(256, 4, 1, w)                               # ImageWidth
     tag(257, 4, 1, h)                               # ImageLength
     tag(258, 3, c, shorts([bits] * c))              # BitsPerSample
@@ -289,16 +312,16 @@ def _write_tiff_nband(path: str, array: np.ndarray,
     if tile:
         tag(322, 3, 1, tw)                          # TileWidth
         tag(323, 3, 1, tl)                          # TileLength
-        tag(324, 4, nchunks,
-            _aux("I", strip_offsets) if nchunks > 1 else strip_offsets[0])
-        tag(325, 4, nchunks,
-            _aux("I", strip_counts) if nchunks > 1 else strip_counts[0])
+        tag(324, otype, nchunks,
+            _aux(ofmt, strip_offsets) if nchunks > 1 else strip_offsets[0])
+        tag(325, otype, nchunks,
+            _aux(ofmt, strip_counts) if nchunks > 1 else strip_counts[0])
     else:
-        tag(273, 4, c,
-            _aux("I", strip_offsets) if c > 1 else strip_offsets[0])
+        tag(273, otype, c,
+            _aux(ofmt, strip_offsets) if c > 1 else strip_offsets[0])
         tag(278, 4, 1, h)                           # RowsPerStrip
-        tag(279, 4, c,
-            _aux("I", strip_counts) if c > 1 else strip_counts[0])
+        tag(279, otype, c,
+            _aux(ofmt, strip_counts) if c > 1 else strip_counts[0])
     tag(277, 3, 1, c)                               # SamplesPerPixel
     tag(284, 3, 1, 2)                               # PlanarConfiguration
     if c > 1:
@@ -317,27 +340,37 @@ def _write_tiff_nband(path: str, array: np.ndarray,
         # _geokey_tags_for_proj
         kd, ascii_blob = _geokey_tags_for_proj(proj)
         tag(_GEO_KEYS, 3, len(kd), _aux("H", list(kd)))
-        s = ascii_blob + b"\0" * max(0, 5 - len(ascii_blob))
+        # pad past the BigTIFF 8-byte inline field so the stored value is
+        # unambiguously an external offset in both container versions
+        s = ascii_blob + b"\0" * max(0, 9 - len(ascii_blob))
         tag(_GEO_ASCII, 2, len(s), _aux("B", list(s)))
 
     entries.sort(key=lambda e: e[0])
     ifd_off = len(out)
-    type_size = {2: 1, 3: 2, 4: 4, 12: 8}
-    out += struct.pack("<H", len(entries))
+    type_size = {2: 1, 3: 2, 4: 4, 12: 8, 16: 8}
+    inline = 8 if bigtiff else 4
+    out += struct.pack("<Q" if bigtiff else "<H", len(entries))
     for tid, ttype, count, value in entries:
         total = type_size[ttype] * count
-        if total <= 4:
-            if ttype == 3 and count == 1:
-                packed = struct.pack("<HH", value, 0)
-            elif ttype == 3 and count == 2:
-                packed = struct.pack("<HH", value & 0xFFFF, value >> 16)
+        if total <= inline:
+            if ttype == 3:
+                packed = struct.pack("<%dH" % count,
+                                     *((value >> (16 * k)) & 0xFFFF
+                                       for k in range(count)))
+            elif ttype == 16:
+                packed = struct.pack("<Q", value)
             else:
                 packed = struct.pack("<I", value)
         else:
-            packed = struct.pack("<I", value)       # value is an offset
-        out += struct.pack("<HHI", tid, ttype, count) + packed
-    out += struct.pack("<I", 0)                     # no next IFD
-    struct.pack_into("<I", out, 4, ifd_off)
+            packed = struct.pack("<Q" if bigtiff else "<I", value)  # offset
+        packed = packed.ljust(inline, b"\0")
+        if bigtiff:
+            out += struct.pack("<HHQ", tid, ttype, count) + packed
+        else:
+            out += struct.pack("<HHI", tid, ttype, count) + packed
+    out += struct.pack("<Q" if bigtiff else "<I", 0)  # no next IFD
+    struct.pack_into("<Q" if bigtiff else "<I", out, 8 if bigtiff else 4,
+                     ifd_off)
     with open(path, "wb") as f:
         f.write(out)
 
@@ -435,6 +468,54 @@ def _lzw_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _packbits_decode(data: bytes, expect: Optional[int] = None) -> bytes:
+    """TIFF PackBits decoder (Compression=32773): the Apple RLE scheme —
+    control byte n in 0..127 copies n+1 literals, n in -127..-1 repeats
+    the next byte 1-n times, -128 is a no-op.  The most common remaining
+    GDAL-interop codec after LZW/Deflate (VERDICT r4 stretch item 9)."""
+    out = bytearray()
+    pos, n = 0, len(data)
+    while pos < n and (expect is None or len(out) < expect):
+        ctrl = data[pos]
+        pos += 1
+        if ctrl < 128:                      # literal run of ctrl+1 bytes
+            out += data[pos:pos + ctrl + 1]
+            pos += ctrl + 1
+        elif ctrl > 128:                    # repeat next byte 257-ctrl times
+            out += data[pos:pos + 1] * (257 - ctrl)
+            pos += 1
+        # ctrl == 128: no-op
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """PackBits encoder (twin of :func:`_packbits_decode`); used by
+    ``_write_tiff_nband(compress='packbits')`` and test fixtures."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        # find run length at i
+        run = 1
+        while run < 128 and i + run < n and data[i + run] == data[i]:
+            run += 1
+        if run >= 2:
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+            continue
+        # literal stretch: until a >=3 run starts (2-byte runs inside a
+        # literal are cheaper left literal) or 128 bytes
+        j = i + 1
+        while j < n and j - i < 128:
+            if j + 2 < n and data[j] == data[j + 1] == data[j + 2]:
+                break
+            j += 1
+        out.append(j - i - 1)
+        out += data[i:j]
+        i = j
+    return bytes(out)
+
+
 def _tiff_decompress(chunk: bytes, comp: int,
                      expect: Optional[int] = None) -> bytes:
     import zlib
@@ -449,6 +530,8 @@ def _tiff_decompress(chunk: bytes, comp: int,
         except Exception:               # pragma: no cover - import races
             pass
         return _lzw_decode(chunk)
+    if comp == 32773:
+        return _packbits_decode(chunk, expect)
     return zlib.decompress(chunk)       # 8 / 32946 deflate
 
 
@@ -517,20 +600,23 @@ def read_raster(path: str, backend: str = "pil"):
 def write_raster(path: str, array: np.ndarray,
                  geotrans: Optional[Tuple[float, ...]] = None,
                  proj: Optional[str] = None, backend: str = "pil",
-                 compress=True, tile: Optional[int] = None) -> None:
+                 compress=True, tile: Optional[int] = None,
+                 bigtiff: Optional[bool] = None) -> None:
     """Write (C, H, W) to disk; TIFF gets compression + geo tags like the
     reference's GDAL writer (``HexImage.py:198-208``).  ``compress`` may
-    be True/False or "deflate"/"lzw"/"none"; ``tile`` (multiple of 16)
-    selects the GDAL-style TILED layout — both only honoured on the
+    be True/False or "deflate"/"lzw"/"packbits"/"none"; ``tile`` (multiple
+    of 16) selects the GDAL-style TILED layout; ``bigtiff`` forces the
+    version-43 container (auto past 4 GiB) — all only honoured on the
     N-band planar TIFF path (PIL handles its own formats)."""
     array = np.asarray(array)
     if array.ndim == 2:
         array = array[None]
     ext = os.path.splitext(path)[1].lower()
     if (ext in (".tif", ".tiff") and backend != "cv2"
-            and (not _pil_can_hold(array) or tile
+            and (not _pil_can_hold(array) or tile or bigtiff
                  or compress not in (True, False))):
-        _write_tiff_nband(path, array, geotrans, proj, compress, tile)
+        _write_tiff_nband(path, array, geotrans, proj, compress, tile,
+                          bigtiff)
         return
     hwc = np.ascontiguousarray(array.transpose(1, 2, 0))
     if hwc.shape[-1] == 1:

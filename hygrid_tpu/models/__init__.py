@@ -11,6 +11,7 @@ from .train import (
     create_train_state,
     train_step,
     eval_step,
+    dense_onehot_xent,
     hexify_batch,
     synthetic_hex_cifar,
     synthetic_hex_shapes,
@@ -38,6 +39,7 @@ __all__ = [
     "create_train_state",
     "train_step",
     "eval_step",
+    "dense_onehot_xent",
     "hexify_batch",
     "synthetic_hex_cifar",
     "synthetic_hex_shapes",

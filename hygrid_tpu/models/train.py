@@ -23,6 +23,7 @@ __all__ = [
     "create_train_state",
     "train_step",
     "eval_step",
+    "dense_onehot_xent",
     "hexify_batch",
     "synthetic_hex_cifar",
     "synthetic_hex_shapes",
@@ -71,6 +72,21 @@ def _class_axis_last(logits, labels):
     return logits
 
 
+def dense_onehot_xent(logits, labels):
+    """Mean softmax cross-entropy in the dense one-hot form — the exact
+    loss ``train_step`` optimizes, importable so tests can pin the
+    training formulation itself rather than re-deriving it (ADVICE r4).
+
+    One-hot, NOT the integer-label form: the take_along_axis inside
+    ``softmax_cross_entropy_with_integer_labels`` pulls back as a SCATTER
+    into the logits, which lowers to XLA's slow scatter path on TPU —
+    measured 7.3 ms of the HexUNet-512^2 train step (21.7 -> 14.4 ms,
+    PERF.md round 4); the one-hot multiply is dense elementwise both ways.
+    ``logits`` class-axis-last (use :func:`_class_axis_last` first)."""
+    onehot = jax.nn.one_hot(labels, logits.shape[-1], dtype=logits.dtype)
+    return optax.softmax_cross_entropy(logits, onehot).mean()
+
+
 def train_step(state: TrainState, images, labels):
     """One optimization step. Pure; jit (optionally over a mesh) outside.
 
@@ -80,15 +96,7 @@ def train_step(state: TrainState, images, labels):
     def loss_fn(params):
         logits, new_stats = _forward(state, params, images, train=True)
         logits = _class_axis_last(logits, labels)
-        # dense one-hot cross-entropy, NOT the integer-label form: the
-        # take_along_axis inside softmax_cross_entropy_with_integer_labels
-        # pulls back as a SCATTER into the logits, which lowers to XLA's
-        # slow scatter path on TPU — measured 7.3 ms of the HexUNet-512^2
-        # train step (21.7 -> 14.4 ms, PERF.md round 4); the one-hot
-        # multiply is dense elementwise both ways
-        onehot = jax.nn.one_hot(labels, logits.shape[-1],
-                                dtype=logits.dtype)
-        loss = optax.softmax_cross_entropy(logits, onehot).mean()
+        loss = dense_onehot_xent(logits, labels)
         return loss, (logits, new_stats)
 
     (loss, (logits, new_stats)), grads = jax.value_and_grad(

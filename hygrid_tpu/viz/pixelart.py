@@ -274,18 +274,23 @@ v.addEventListener('mousemove',e=>{{if(drag){{send('drag='+[...drag,e.offsetX,e.
                         self._ok("image/jpeg", encode_frame())
                 elif url.path == "/event":
                     q = parse_qs(url.query)
-                    try:
-                        if "key" in q:
-                            window.key_event(q["key"][0])
-                        if "drag" in q:
-                            x0, y0, x1, y1 = map(float,
-                                                 q["drag"][0].split(","))
-                            window.drag((x0, y0), (x1, y1))
-                    except ValueError:
-                        pass                      # unbound key: ignore
+                    # ALL view-state mutation under the render lock:
+                    # ThreadingHTTPServer handles concurrent clients, and
+                    # key_event/drag replace window.view while /frame and
+                    # /stream render it, step_image swaps the texture
+                    # mid-render (VERDICT r4 weak #6)
                     with lock:
+                        try:
+                            if "key" in q:
+                                window.key_event(q["key"][0])
+                            if "drag" in q:
+                                x0, y0, x1, y1 = map(float,
+                                                     q["drag"][0].split(","))
+                                window.drag((x0, y0), (x1, y1))
+                        except ValueError:
+                            pass                  # unbound key: ignore
                         window.step_image(tex, files)
-                    state_gen[0] += 1
+                        state_gen[0] += 1
                     self._ok("text/plain", b"ok")
                 elif url.path == "/stream":
                     self.send_response(200)
@@ -294,11 +299,20 @@ v.addEventListener('mousemove',e=>{{if(drag){{send('drag='+[...drag,e.offsetX,e.
                         "multipart/x-mixed-replace; boundary=hgframe")
                     self.end_headers()
                     last = -1
+                    next_render = 0.0
                     try:
                         while True:
                             if state_gen[0] == last:
                                 time.sleep(0.02)   # idle: wait for input
                                 continue
+                            # cap the re-render rate: a burst of events
+                            # (mouse drags arrive per-pixel) coalesces into
+                            # <= 30 renders/s per stream client instead of
+                            # one jit dispatch per event
+                            now = time.monotonic()
+                            if now < next_render:
+                                time.sleep(next_render - now)
+                            next_render = time.monotonic() + 1.0 / 30.0
                             last = state_gen[0]
                             with lock:
                                 jpg = encode_frame()

@@ -142,8 +142,15 @@ class TestModels:
         """train_step's dense one-hot cross-entropy (the TPU-fast form,
         PERF.md round 4: the integer-label form's take_along_axis pulls
         back as a 7.3 ms XLA scatter) must be mathematically identical to
-        optax's integer-label form — both loss value and gradient."""
+        optax's integer-label form — both loss value and gradient.
+
+        ADVICE r4: pins the IMPORTED ``dense_onehot_xent`` (the function
+        train_step actually optimizes), not an inline re-derivation, so a
+        drift in train.py's formulation (dtype, smoothing, masking) fails
+        here."""
         import optax
+        from hygrid_tpu.models import dense_onehot_xent
+        from hygrid_tpu.models.train import _class_axis_last
         rng = np.random.default_rng(7)
         logits = jnp.asarray(rng.normal(size=(4, 6, 5, 3)).transpose(
             0, 3, 1, 2), jnp.float32)  # (B, K, h, w)
@@ -155,14 +162,34 @@ class TestModels:
                 lg, labels).mean()
 
         def lo(lg):
-            lg = jnp.moveaxis(lg, 1, -1)
-            onehot = jax.nn.one_hot(labels, lg.shape[-1], dtype=lg.dtype)
-            return optax.softmax_cross_entropy(lg, onehot).mean()
+            return dense_onehot_xent(_class_axis_last(lg, labels), labels)
 
         vi, gi = jax.value_and_grad(li)(logits)
         vo, go = jax.value_and_grad(lo)(logits)
         np.testing.assert_allclose(vi, vo, rtol=1e-6)
         np.testing.assert_allclose(gi, go, rtol=1e-5, atol=1e-7)
+
+    def test_train_step_loss_matches_integer_twin_end_to_end(self):
+        """ADVICE r4, second leg: the loss train_step REPORTS on a real
+        tiny model equals an integer-label twin computed from the same
+        logits — catches any wedge between the shipped loss_fn and the
+        formulation the identity test pins (label masking, smoothing, a
+        stray dtype cast)."""
+        import optax
+        from hygrid_tpu.models.train import _forward, _class_axis_last
+        rng = np.random.default_rng(11)
+        x, y = synthetic_hex_cifar(rng, 4)
+        hx = hexify_batch(x)
+        model = hexcnn_tiny(norm=None)
+        state = create_train_state(model, jax.random.key(0), hx[:1])
+        _, metrics = jax.jit(train_step)(state, hx, y)
+        # twin: same params, same inputs, integer-label optax form
+        logits, _ = _forward(state, state.params, hx, train=True)
+        logits = _class_axis_last(logits, y)
+        twin = optax.softmax_cross_entropy_with_integer_labels(
+            logits, y).mean()
+        np.testing.assert_allclose(
+            float(metrics["loss"]), float(twin), rtol=1e-5)
 
 
 class TestParallel:
@@ -794,3 +821,65 @@ class TestSplitStackDecoder:
         monkeypatch.undo()
         g = jax.grad(lambda pp: jnp.sum(m.apply(pp, x) ** 2))(p)
         assert all(bool(jnp.all(jnp.isfinite(l))) for l in jax.tree.leaves(g))
+
+
+class TestCollectiveCensus:
+    """VERDICT r4 item 4: the communication pattern of the sharded paths is
+    asserted, not taken on faith — halos must ride neighbour permutes and
+    nothing may all-gather the full image (census recorded in
+    MULTICHIP_audit.json by benchmarks/multichip_audit.py)."""
+
+    @staticmethod
+    def _count(compiled_text):
+        import importlib.util
+        import os
+        spec = importlib.util.spec_from_file_location(
+            "mc_audit", os.path.join(os.path.dirname(__file__), "..",
+                                     "benchmarks", "multichip_audit.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod.count_collectives(compiled_text)
+
+    def test_spatial_halo_path_is_ppermute_only(self):
+        """Row-sharded resample + hex-conv chain over sp=8: halo exchange
+        is collective-permute; no all-gather/all-reduce of image data."""
+        import hygrid_tpu as hg
+        from hygrid_tpu.parallel import create_mesh
+        from hygrid_tpu.parallel.spatial import (sharded_resample,
+                                                 sharded_hex_conv2d)
+        mesh = create_mesh({"sp": 8})
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.random((1, 3, 64, 64)), jnp.float32)
+        kerns = [jnp.asarray(rng.random((3, 3, 7)) * 0.1, jnp.float32)
+                 for _ in range(4)]
+
+        def pipeline(v):
+            h = sharded_resample(v, mesh, "rect_to_hex", (32, 64),
+                                 "bilinear")
+            for k in kerns:
+                h = sharded_hex_conv2d(h, k, mesh, even_odd_offset=0,
+                                       radius=2)
+            return sharded_resample(h, mesh, "hex_to_rect", (64, 64),
+                                    "linear")
+
+        txt = jax.jit(pipeline).lower(x).compile().as_text()
+        counts = self._count(txt)
+        # one ppermute pair per halo edge: resample-in + 4 convs +
+        # resample-out each exchange both directions
+        assert counts.get("collective-permute", 0) >= 8, counts
+        assert counts.get("all-gather", 0) == 0, counts
+        assert counts.get("all-reduce", 0) == 0, counts
+
+    def test_train_step_census_has_grad_reduce(self):
+        """The dp x sp x tp train step's census: data-parallel gradients
+        must all-reduce (or reduce-scatter) and nothing should all-to-all
+        unexpectedly often (the expected all-to-alls are the tp<->sp
+        resharding at layout changes, bounded per layer)."""
+        import __graft_entry__ as ge
+        txt = ge.dryrun_multichip(8, return_compiled_text=True)
+        counts = self._count(txt)
+        assert (counts.get("all-reduce", 0) + counts.get("reduce-scatter", 0)
+                >= 1), counts
+        # collective-permute dominates (halo exchange); image-sized
+        # all-gathers would dwarf these counts
+        assert counts.get("all-gather", 0) <= 12, counts
