@@ -841,16 +841,18 @@ def _apply_plan_pallas_impl(image, plan: SamplePlan, tile_rows: int = 8,
     bc = int(np.prod(lead)) if lead else 1
     h, w = plan.src_shape
     esz = image.dtype.itemsize
-    # Executor choice (HYGRID_RESAMPLE_IMPL in {auto, shift, periodic,
-    # onehot} for A/B).  Measured routing lives in shift_prefers
+    # Executor choice (HYGRID_RESAMPLE_IMPL in {auto, shift, pshift,
+    # periodic, onehot} for A/B).  Measured routing lives in shift_prefers
     # (resample_shift.py): the shift-FMA kernel takes every
-    # constant-stride plan whose source fits VMEM; >VMEM sources fall
-    # through to the periodic/onehot MXU tiers (PERF.md round 4).
+    # constant-stride plan whose source fits VMEM; >VMEM unit-stride
+    # periodic plans ride the pure-XLA periodic-shift hybrid (round 5);
+    # the rest fall through to the periodic/onehot MXU tiers.
     import os
     impl = os.environ.get("HYGRID_RESAMPLE_IMPL", "auto")
-    if impl in ("auto", "shift"):
+    if impl in ("auto", "shift", "pshift"):
         from .resample_shift import (shift_decompose_cached,
-                                     apply_plan_shift, shift_prefers)
+                                     apply_plan_shift, shift_prefers,
+                                     apply_plan_periodic_shift)
         sgeo = shift_decompose_cached(plan)
         take_shift = sgeo is not None and impl == "shift"
         if (sgeo is not None and impl == "auto" and not force_banded
@@ -863,6 +865,17 @@ def _apply_plan_pallas_impl(image, plan: SamplePlan, tile_rows: int = 8,
         if take_shift:
             return apply_plan_shift(image, plan, sgeo, tile_rows,
                                     force_banded)
+        if sgeo is not None and sgeo.num == 1 and sgeo.den == 1:
+            if impl == "pshift":
+                return apply_plan_periodic_shift(image, plan, sgeo)
+            # auto: the hybrid owns >VMEM unit-stride periodic plans
+            # (A/B vs the periodic MXU tier in PERF.md round 5); at
+            # <=VMEM sizes the incumbents keep their measured wins
+            if (impl == "auto" and not force_banded
+                    and h * w * esz > 8 * 2**20
+                    and periodic_decompose(sgeo, plan.out_shape[0])
+                    is not None):
+                return apply_plan_periodic_shift(image, plan, sgeo)
     geo = _launch_geometry(plan, bc, esz, tile_rows, force_banded)
     if not force_banded and impl != "onehot":
         per = periodic_decompose(geo, plan.out_shape[0])

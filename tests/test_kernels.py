@@ -828,3 +828,62 @@ def test_shift_impl_env_pins_executor():
         finally:
             _os.environ.pop("HYGRID_RESAMPLE_IMPL", None)
         np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+@pytest.mark.parametrize("kind,method,src,out,lead", [
+    ("hex", "linear", (96, 128), (96, 128), (3,)),     # the 4K family
+    ("hex", "nearest", (96, 128), (96, 128), (2, 3)),  # exact-select
+    ("hex", "linear", (64, 256), (64, 256), (3,)),
+])
+def test_periodic_shift_hybrid_matches_xla(kind, method, src, out, lead):
+    """The pure-XLA periodic-rows x shift-columns hybrid (round 5) must
+    match the gather path bit-for-bit at f32 — it is the >VMEM tier for
+    unit-stride periodic plans (the 4K hex->rect bench family)."""
+    from hygrid_tpu.ops import sampling
+    from hygrid_tpu.kernels.resample_shift import (
+        shift_decompose_cached, apply_plan_periodic_shift)
+    plan = _mk_plan(kind, method, src, out)
+    geo = shift_decompose_cached(plan)
+    assert geo is not None and geo.num == 1 and geo.den == 1
+    rng = np.random.default_rng(31)
+    x = jnp.asarray(rng.random(lead + src), jnp.float32)
+    a = np.asarray(apply_plan_periodic_shift(x, plan, geo))
+    b = np.asarray(sampling.apply_plan(x, plan))
+    np.testing.assert_array_equal(a, b)
+    # bf16: one output ulp (slot accumulation order vs the gather's plan
+    # term order rounds differently once cast back to bf16)
+    xb = x.astype(jnp.bfloat16)
+    ab = np.asarray(apply_plan_periodic_shift(xb, plan, geo), np.float32)
+    bb = np.asarray(sampling.apply_plan(xb, plan), np.float32)
+    np.testing.assert_allclose(ab, bb, atol=8e-3)
+
+
+def test_periodic_shift_hybrid_grad_and_env():
+    """HYGRID_RESAMPLE_IMPL=pshift pins the hybrid through the dispatcher;
+    the grad rides apply_plan_pallas's custom VJP like every tier."""
+    import os as _os
+    from hygrid_tpu.ops import sampling
+    from hygrid_tpu.kernels.resample_pallas import apply_plan_pallas
+    plan = _mk_plan("hex", "linear", (48, 64), (48, 64))
+    rng = np.random.default_rng(37)
+    x = jnp.asarray(rng.random((2, 48, 64)), jnp.float32)
+    _os.environ["HYGRID_RESAMPLE_IMPL"] = "pshift"
+    try:
+        a = np.asarray(apply_plan_pallas(x, plan))
+        g1 = jax.grad(lambda v: jnp.sum(apply_plan_pallas(v, plan) ** 2))(x)
+    finally:
+        _os.environ.pop("HYGRID_RESAMPLE_IMPL", None)
+    b = np.asarray(sampling.apply_plan(x, plan))
+    np.testing.assert_array_equal(a, b)
+    g2 = jax.grad(lambda v: jnp.sum(sampling.apply_plan(v, plan) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)
+
+
+def test_periodic_shift_hybrid_rejects_non_qualifying():
+    """Strided-column (num>1/den>1) and aperiodic plans must raise — the
+    dispatcher checks the same predicates before routing."""
+    from hygrid_tpu.kernels.resample_shift import apply_plan_periodic_shift
+    plan = _mk_plan("rect", "bilinear", (64, 64), (32, 32))   # num=2
+    x = jnp.zeros((3, 64, 64), jnp.float32)
+    with pytest.raises(ValueError):
+        apply_plan_periodic_shift(x, plan)
