@@ -868,9 +868,10 @@ def _apply_plan_pallas_impl(image, plan: SamplePlan, tile_rows: int = 8,
         if sgeo is not None and sgeo.num == 1 and sgeo.den == 1:
             if impl == "pshift":
                 return apply_plan_periodic_shift(image, plan, sgeo)
-            # auto: the hybrid owns >VMEM unit-stride periodic plans
-            # (A/B vs the periodic MXU tier in PERF.md round 5); at
-            # <=VMEM sizes the incumbents keep their measured wins
+            # auto: the hybrid owns >VMEM unit-stride periodic plans —
+            # measured 2.0-2.1x over the periodic MXU tier at the 4K
+            # hex->rect config (0.92-1.0 vs 1.94 ms, PERF.md round 5);
+            # at <=VMEM sizes the incumbents keep their measured wins
             if (impl == "auto" and not force_banded
                     and h * w * esz > 8 * 2**20
                     and periodic_decompose(sgeo, plan.out_shape[0])

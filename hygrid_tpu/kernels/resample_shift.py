@@ -482,39 +482,78 @@ def apply_plan_periodic_shift(image, plan: SamplePlan,
           if pad_l or pad_r else x)
 
     n = (hi - lo) // P
-    parts = []
-    for q in range(P):
-        r0 = lo + q
-        start = int(geo.rowbase[r0])
+    rb0 = int(geo.rowbase[lo])
+    # Two formulations, interleaved-A/B'd on device (PERF.md round 5):
+    # the default "stack" form computes each phase part separately and
+    # interleaves with stack+reshape — the HLO materialises the parts,
+    # their relayouts, and the stack, yet measures 0.92-0.99 ms at 4K.
+    # The "uniform" single-fusion form (contiguous slice + free (n, P)
+    # reshape per slot when the period's row bases advance by 1 and
+    # S == P) produces the output in one fusion with zero intermediates
+    # but measures 1.31-1.36 ms: its one fusion re-reads the source per
+    # slot-use (5x) from HBM, which costs more than the stack form's
+    # materialise+re-read round trips.  A measured refusal — kept behind
+    # HYGRID_PSHIFT_FORM=uniform for re-evaluation on other shapes.
+    d_max = max(d for d, _u, _a in geo.slots)
+    import os
+    form = os.environ.get("HYGRID_PSHIFT_FORM", "stack")
+    uniform = (form == "uniform" and S == P and P > 0
+               and all(int(geo.rowbase[lo + q]) == rb0 + q
+                       for q in range(P))
+               and rb0 + d_max + n * P <= xp.shape[1])
+    if uniform:
         acc = None
-        rows_cache = {}
+        views = {}
         for i, (d, _u, a) in enumerate(geo.slots):
-            wv = geo.wplanes[i, r0, :]               # (w1,) f32
-            if not wv.any():
+            wq = geo.wplanes[i, lo:lo + P, :]        # (P, w1) f32
+            if not wq.any():
                 continue
-            if d not in rows_cache:
-                s0 = start + d
-                rows_cache[d] = (
-                    xp[:, s0:s0 + S * (n - 1) + 1:S, :] if S else
-                    jnp.broadcast_to(xp[:, s0:s0 + 1, :],
-                                     (bc, n, xp.shape[-1])))
-            sl = rows_cache[d][:, :, pad_l + a:pad_l + a + w1]
-            term = sl.astype(jnp.float32) * jnp.asarray(wv)[None, None, :]
+            if d not in views:
+                s0 = rb0 + d
+                views[d] = xp[:, s0:s0 + n * P, :].reshape(
+                    bc, n, P, xp.shape[-1])
+            sl = views[d][:, :, :, pad_l + a:pad_l + a + w1]
+            term = sl.astype(jnp.float32) * jnp.asarray(wq)[None, None]
             acc = term if acc is None else acc + term
-        parts.append(acc)
-    # (bc, n, P, w1) -> (bc, n*P, w1): a row-major reinterpretation, free
-    main = jnp.stack(parts, axis=2).reshape(bc, n * P, w1)
+        main = acc.astype(out_dtype).reshape(bc, n * P, w1)
+    else:
+        parts = []
+        for q in range(P):
+            r0 = lo + q
+            start = int(geo.rowbase[r0])
+            acc = None
+            rows_cache = {}
+            for i, (d, _u, a) in enumerate(geo.slots):
+                wv = geo.wplanes[i, r0, :]           # (w1,) f32
+                if not wv.any():
+                    continue
+                if d not in rows_cache:
+                    s0 = start + d
+                    rows_cache[d] = (
+                        xp[:, s0:s0 + S * (n - 1) + 1:S, :] if S else
+                        jnp.broadcast_to(xp[:, s0:s0 + 1, :],
+                                         (bc, n, xp.shape[-1])))
+                sl = rows_cache[d][:, :, pad_l + a:pad_l + a + w1]
+                term = (sl.astype(jnp.float32)
+                        * jnp.asarray(wv)[None, None, :])
+                acc = term if acc is None else acc + term
+            parts.append(acc)
+        # (bc, n, P, w1) -> (bc, n*P, w1): row-major reinterpretation
+        main = jnp.stack(parts, axis=2).astype(out_dtype).reshape(
+            bc, n * P, w1)
 
+    # cast each boundary piece BEFORE the concat: a f32 concat would
+    # materialise the whole output at twice the bytes just to cast it
     pieces = []
     if lo > 0:
         head = SamplePlan(plan.idx[:, :lo], plan.weights[:, :lo],
                           plan.src_shape, (lo, w1), plan.exact_select)
-        pieces.append(apply_plan(x, head).astype(jnp.float32))
+        pieces.append(apply_plan(x, head).astype(out_dtype))
     pieces.append(main)
     if hi < h1:
         tail = SamplePlan(plan.idx[:, hi:], plan.weights[:, hi:],
                           plan.src_shape, (h1 - hi, w1), plan.exact_select)
-        pieces.append(apply_plan(x, tail).astype(jnp.float32))
+        pieces.append(apply_plan(x, tail).astype(out_dtype))
     out = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=1)
     return out.astype(out_dtype).reshape(lead + (h1, w1))
 
