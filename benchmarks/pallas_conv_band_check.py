@@ -59,10 +59,22 @@ if __name__ == "__main__":
     fails = 0
     for (c, co, h, w, b) in CELLS:
         for rep in range(REPS):
-            r = subprocess.run(
-                [sys.executable, here, "cell", str(c), str(co), str(h),
-                 str(w), str(b), str(rep)],
-                capture_output=True, text=True, timeout=1500)
+            try:
+                r = subprocess.run(
+                    [sys.executable, here, "cell", str(c), str(co), str(h),
+                     str(w), str(b), str(rep)],
+                    capture_output=True, text=True, timeout=1500)
+            except subprocess.TimeoutExpired:
+                # tunnel stall / worker down (CLAUDE.md: single hangs are
+                # infra, not code) — record and move on; rerun the script
+                # when the worker recovers before reading anything into it
+                print(json.dumps({
+                    "cell": f"C{c}->{co} {h}x{w} b{b}", "rep": rep,
+                    "TIMEOUT": "no device response in 1500s "
+                               "(tunnel/worker stall — infra, rerun)"}),
+                    flush=True)
+                fails += 1
+                continue
             for line in r.stdout.splitlines():
                 if line.startswith("{"):
                     print(line, flush=True)
