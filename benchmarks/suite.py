@@ -271,9 +271,9 @@ def bench_hexunet_train(batch=8, size=512):
 
 def bench_resample4k():
     """>VMEM resample: 4K->4K hex->rect linear; the 33 MB/plane source
-    exceeds the VMEM budget, so this exercises the row-banded kernel
-    (double-buffered HBM band DMA).  bf16 frames (8-bit content lossless),
-    MXU one-hot matmuls."""
+    exceeds the VMEM budget.  bf16 frames (8-bit content lossless).
+    Auto-routes to the periodic-shift hybrid since round 5 (2x the
+    periodic one-hot tier this config rode before — PERF.md)."""
     import hygrid_tpu as hg
 
     rng = np.random.default_rng(0)
@@ -282,7 +282,7 @@ def bench_resample4k():
     per = _timeit(f, x, n=24)
     mpix = 2160 * 3840 / 1e6
     print(json.dumps({
-        "metric": "4K->4K hex->rect resample, >VMEM banded kernel (bf16)",
+        "metric": "4K->4K hex->rect resample, >VMEM tier (bf16)",
         "value": round(mpix / per, 1), "unit": "Mpix/sec/chip",
         "vs_baseline": None}))
 

@@ -887,3 +887,31 @@ def test_periodic_shift_hybrid_rejects_non_qualifying():
     x = jnp.zeros((3, 64, 64), jnp.float32)
     with pytest.raises(ValueError):
         apply_plan_periodic_shift(x, plan)
+
+
+def test_auto_routes_large_unit_stride_periodic_to_hybrid(monkeypatch):
+    """>VMEM unit-stride periodic plans must auto-route to the
+    periodic-shift hybrid (the measured 2x winner at 4K, PERF.md r5) —
+    pin the dispatch so a routing regression is caught on CPU."""
+    from hygrid_tpu.ops import sampling
+    from hygrid_tpu.kernels import resample_pallas as rp
+    from hygrid_tpu.kernels import resample_shift as rs
+    calls = []
+    real = rs.apply_plan_periodic_shift
+
+    def spy(image, plan, geo=None):
+        calls.append(plan.out_shape)
+        return real(image, plan, geo)
+
+    monkeypatch.setattr(rs, "apply_plan_periodic_shift", spy)
+    # 1500x1500 f32 source = 9 MB > the 8 MB VMEM budget -> hybrid
+    plan = _mk_plan("hex", "linear", (1500, 1500), (1500, 1500))
+    x = jnp.zeros((1, 1500, 1500), jnp.float32)
+    out = rp.apply_plan_pallas(x, plan)
+    assert calls == [(1500, 1500)]
+    assert out.shape == (1, 1500, 1500)
+    # ...while a small same-size plan stays on the shift-full executor
+    calls.clear()
+    small = _mk_plan("hex", "linear", (96, 128), (96, 128))
+    rp.apply_plan_pallas(jnp.zeros((1, 96, 128), jnp.float32), small)
+    assert calls == []
