@@ -69,12 +69,16 @@ def _leg_time(f, base, n, reps=3):
     float(g(base, d2))
     t1 = t2 = float("inf")
     for _ in range(reps):
+        # fetch OUTSIDE the assert (stripped under -O) like main() does —
+        # the fetch is the measurement, the assert is only a sanity check
         t0 = time.perf_counter()
-        assert np.isfinite(float(g(base, d1)))
+        v1 = float(g(base, d1))
         t1 = min(t1, time.perf_counter() - t0)
+        assert np.isfinite(v1)
         t0 = time.perf_counter()
-        assert np.isfinite(float(g(base, d2)))
+        v2 = float(g(base, d2))
         t2 = min(t2, time.perf_counter() - t0)
+        assert np.isfinite(v2)
     per = (t2 - t1) / n
     return per if per > 0 else t2 / (2 * n)
 

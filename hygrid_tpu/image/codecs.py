@@ -291,10 +291,17 @@ def _write_tiff_nband(path: str, array: np.ndarray,
     comp_name = {True: "deflate", False: "none"}.get(compress, compress)
     if comp_name not in ("none", "deflate", "lzw", "packbits"):
         raise ValueError(f"unsupported compression {compress!r}")
-    enc = {"none": lambda raw: raw,
-           "deflate": lambda raw: zlib.compress(raw, 6),
-           "lzw": _lzw_encode,
-           "packbits": _packbits_encode}[comp_name]
+    def _packbits_rows(raw, row_bytes):
+        # TIFF 6.0 PackBits: "pack each row separately; do not compress
+        # across row boundaries" — strict row-based readers mis-decode
+        # runs that span rows (stream-wise decoders tolerate either)
+        return b"".join(_packbits_encode(raw[i:i + row_bytes])
+                        for i in range(0, len(raw), row_bytes))
+
+    enc = {"none": lambda raw, rb: raw,
+           "deflate": lambda raw, rb: zlib.compress(raw, 6),
+           "lzw": lambda raw, rb: _lzw_encode(raw),
+           "packbits": _packbits_rows}[comp_name]
     comp_tag = {"none": 1, "deflate": 8, "lzw": 5, "packbits": 32773}[comp_name]
     le = array.dtype.newbyteorder("<")
 
@@ -311,10 +318,11 @@ def _write_tiff_nband(path: str, array: np.ndarray,
                 for tx in range(ta):
                     raw = padded[ty * tl:(ty + 1) * tl,
                                  tx * tw:(tx + 1) * tw].astype(le).tobytes()
-                    strips.append(enc(raw))
+                    strips.append(enc(raw, tw * array.dtype.itemsize))
     else:
         for b in range(c):
-            strips.append(enc(array[b].astype(le).tobytes()))
+            strips.append(enc(array[b].astype(le).tobytes(),
+                              w * array.dtype.itemsize))
 
     if bigtiff is None:
         # auto-promote like GDAL: payload + metadata headroom past the
@@ -405,7 +413,15 @@ def _write_tiff_nband(path: str, array: np.ndarray,
         kd, doubles, ascii_blob = _geokey_tags_for_proj(proj)
         tag(_GEO_KEYS, 3, len(kd), _aux("H", list(kd)))
         if doubles:
-            tag(_GEO_DOUBLES, 12, len(doubles), _aux("d", list(doubles)))
+            # a single DOUBLE fits the BigTIFF 8-byte inline field — pass
+            # the raw float so the emitter packs it in place (an _aux
+            # offset there would be decoded as a garbage double by every
+            # conforming reader)
+            if len(doubles) == 1 and bigtiff:
+                tag(_GEO_DOUBLES, 12, 1, float(doubles[0]))
+            else:
+                tag(_GEO_DOUBLES, 12, len(doubles),
+                    _aux("d", list(doubles)))
         if ascii_blob:
             # pad past the BigTIFF 8-byte inline field so the stored value
             # is unambiguously an external offset in both container
@@ -425,6 +441,8 @@ def _write_tiff_nband(path: str, array: np.ndarray,
                 packed = struct.pack("<%dH" % count,
                                      *((value >> (16 * k)) & 0xFFFF
                                        for k in range(count)))
+            elif ttype == 12:
+                packed = struct.pack("<d", value)   # BigTIFF inline DOUBLE
             elif ttype == 16:
                 packed = struct.pack("<Q", value)
             else:

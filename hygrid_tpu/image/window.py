@@ -138,7 +138,15 @@ class TiffWindowReader:
                 f"unsupported TIFF compression {self.compression}")
         # new-style JPEG (7): chunks are abbreviated JPEG bitstreams
         # sharing the JPEGTables tag (347); reference rasters via GDAL
-        # commonly ship this (VERDICT r4 missing #2)
+        # commonly ship this (VERDICT r4 missing #2).  Decode needs PIL —
+        # fail at open with the same clear error as unsupported codecs,
+        # not an ImportError from a reader worker thread mid-decode
+        if self.compression == 7:
+            from .codecs import HAS_PIL
+            if not HAS_PIL:
+                raise ValueError(
+                    "TIFF compression 7 (JPEG) requires PIL, which is "
+                    "not installed")
         self._jpeg_tables = bytes(tags.get(347, ()))
         if self.predictor not in (1, 2):
             raise ValueError(f"unsupported TIFF predictor {self.predictor}")

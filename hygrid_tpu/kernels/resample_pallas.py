@@ -866,17 +866,25 @@ def _apply_plan_pallas_impl(image, plan: SamplePlan, tile_rows: int = 8,
             return apply_plan_shift(image, plan, sgeo, tile_rows,
                                     force_banded)
         if sgeo is not None and sgeo.num == 1 and sgeo.den == 1:
-            if impl == "pshift":
-                return apply_plan_periodic_shift(image, plan, sgeo)
+            # periodicity gate shared with the executor (computed once
+            # and passed through; the scan is an O(h1 x max_period)
+            # numpy pass per trace)
+            per = periodic_decompose(sgeo, plan.out_shape[0])
+            # impl=pshift pins the hybrid where it applies and degrades
+            # to the MXU tiers elsewhere, like every other pin
+            take_hybrid = per is not None and impl == "pshift"
             # auto: the hybrid owns >VMEM unit-stride periodic plans —
             # measured 2.0-2.1x over the periodic MXU tier at the 4K
             # hex->rect config (0.92-1.0 vs 1.94 ms, PERF.md round 5);
-            # at <=VMEM sizes the incumbents keep their measured wins
-            if (impl == "auto" and not force_banded
-                    and h * w * esz > 8 * 2**20
-                    and periodic_decompose(sgeo, plan.out_shape[0])
-                    is not None):
-                return apply_plan_periodic_shift(image, plan, sgeo)
+            # at <=VMEM sizes the incumbents keep their measured wins.
+            # The VMEM budget is the shift executor's own constant so
+            # the two predicates stay complementary.
+            from .resample_shift import _VMEM_BUDGET
+            if (per is not None and impl == "auto" and not force_banded
+                    and h * w * esz > _VMEM_BUDGET):
+                take_hybrid = True
+            if take_hybrid:
+                return apply_plan_periodic_shift(image, plan, sgeo, per)
     geo = _launch_geometry(plan, bc, esz, tile_rows, force_banded)
     if not force_banded and impl != "onehot":
         per = periodic_decompose(geo, plan.out_shape[0])

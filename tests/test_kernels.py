@@ -899,9 +899,9 @@ def test_auto_routes_large_unit_stride_periodic_to_hybrid(monkeypatch):
     calls = []
     real = rs.apply_plan_periodic_shift
 
-    def spy(image, plan, geo=None):
+    def spy(image, plan, geo=None, per=None):
         calls.append(plan.out_shape)
-        return real(image, plan, geo)
+        return real(image, plan, geo, per)
 
     monkeypatch.setattr(rs, "apply_plan_periodic_shift", spy)
     # 1500x1500 f32 source = 9 MB > the 8 MB VMEM budget -> hybrid
@@ -915,3 +915,27 @@ def test_auto_routes_large_unit_stride_periodic_to_hybrid(monkeypatch):
     small = _mk_plan("hex", "linear", (96, 128), (96, 128))
     rp.apply_plan_pallas(jnp.zeros((1, 96, 128), jnp.float32), small)
     assert calls == []
+
+
+def test_pshift_pin_degrades_on_aperiodic_plans():
+    """HYGRID_RESAMPLE_IMPL=pshift on a unit-stride but row-APERIODIC
+    plan must fall through to the MXU tiers like every other pin, not
+    raise at trace time (found by review, round 5)."""
+    import os as _os
+    from hygrid_tpu.ops import sampling
+    from hygrid_tpu.kernels.resample_pallas import apply_plan_pallas
+    # 100 -> 93-row same-width resize: unit column stride, aperiodic rows
+    from hygrid_tpu.ops import geometry
+    from hygrid_tpu import lattice
+    gx, gy = geometry._linspace_grid(
+        lattice.corner_box("hex_to_rect", 100, 128), 93, 128)
+    plan = sampling.hex_sample_plan(gx, gy, 100, 128, "linear")
+    x = jnp.asarray(np.random.default_rng(41).random((2, 100, 128)),
+                    jnp.float32)
+    _os.environ["HYGRID_RESAMPLE_IMPL"] = "pshift"
+    try:
+        a = np.asarray(apply_plan_pallas(x, plan))
+    finally:
+        _os.environ.pop("HYGRID_RESAMPLE_IMPL", None)
+    b = np.asarray(sampling.apply_plan(x, plan))
+    np.testing.assert_allclose(a, b, atol=1e-5)

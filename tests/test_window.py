@@ -308,3 +308,52 @@ def test_jpeg_in_tiff_window_reads(tmp_path):
             np.testing.assert_array_equal(
                 rd.read_window(r0, c0, h, w),
                 ref[:, r0:r0 + h, c0:c0 + w])
+
+
+def test_bigtiff_single_double_geokey_inline():
+    """A lone float GeoKey in a BigTIFF fits the 8-byte inline IFD field;
+    the writer must pack the double itself there, not an external-block
+    offset (which every conforming reader would decode as a garbage
+    double — found by review, round 5)."""
+    import tempfile
+    from hygrid_tpu.image import codecs
+    from hygrid_tpu.image.codecs import CRS
+    arr = (np.random.default_rng(7).random((2, 9, 7)) * 255
+           ).astype(np.uint8)
+    keys = {1024: 1, 1025: 1, 3072: 32767, 2052: 9001.0}
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "one_double.tif")
+        codecs.write_raster(p, arr, (0.0, 1.0, 0.0, 0.0, 0.0, -1.0),
+                            proj=CRS("u", keys), bigtiff=True)
+        back, _geo, proj = codecs.read_raster(p)
+        assert proj.geokeys == keys
+        np.testing.assert_array_equal(back, arr)
+
+
+def test_packbits_runs_do_not_span_rows():
+    """TIFF 6.0: PackBits packs each row separately. A flat image whose
+    rows would merge into one giant run must still decode row-by-row
+    under a strict per-row decoder (found by review, round 5)."""
+    import tempfile
+    from hygrid_tpu.image import codecs
+    from hygrid_tpu.image.codecs import _packbits_decode
+    arr = np.full((1, 37, 23), 200, np.uint8)   # maximally run-mergeable
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "pb.tif")
+        codecs.write_raster(p, arr, compress="packbits")
+        with TiffWindowReader(p) as rd:
+            np.testing.assert_array_equal(rd.read_all(), arr)
+            raw = os.pread(rd._f.fileno(), rd._counts[0], rd._offsets[0])
+        # strict per-row decode: each row must terminate exactly at its
+        # boundary with no run crossing into the next row
+        pos, w = 0, 23
+        for _row in range(37):
+            row_out = b""
+            while len(row_out) < w:
+                b0 = raw[pos]; pos += 1
+                if b0 > 128:
+                    row_out += bytes([raw[pos]]) * (257 - b0); pos += 1
+                elif b0 < 128:
+                    row_out += raw[pos:pos + b0 + 1]; pos += b0 + 1
+            assert len(row_out) == w   # no overrun into the next row
+        assert pos == len(raw)
