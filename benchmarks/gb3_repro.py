@@ -28,11 +28,17 @@ def run_cell(gb: int):
     os.environ["HYGRID_SHIFT_GB"] = str(gb)
     import numpy as np
     import jax.numpy as jnp
-    from hygrid_tpu.ops.geometry import hex_to_rect_plan
+    from hygrid_tpu import lattice
+    from hygrid_tpu.ops import sampling
+    from hygrid_tpu.ops.geometry import _linspace_grid
     from hygrid_tpu.kernels.resample_shift import apply_plan_shift
 
     # the round-4 A/B shape: 4K hex->rect, 3 channels, bf16, banded source
-    plan = hex_to_rect_plan((1080, 1920), (2160, 3840), "linear")
+    # (same plan construction as ops.geometry.hex_to_rect_resample)
+    h_src, w_src, h1, w1 = 1080, 1920, 2160, 3840
+    plan = sampling.hex_sample_plan(
+        *_linspace_grid(lattice.corner_box("hex_to_rect", h_src, w_src),
+                        h1, w1), h_src, w_src, "linear")
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.random((3, 1080, 1920)), jnp.bfloat16)
     out = apply_plan_shift(x, plan, force_banded=True)

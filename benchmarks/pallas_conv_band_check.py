@@ -43,12 +43,18 @@ def run_cell(c, co, h, w, b, rep):
     a = np.asarray(jax.jit(fp)(x), np.float32)
     bb = np.asarray(jax.jit(fx)(x), np.float32)
     err = float(np.abs(a - bb).max())
+    # bf16 tolerance must scale with the contraction: C channels x 7 taps
+    # of O(1) values accumulate ~C*7*0.1 magnitude, and different rounding
+    # orders (pallas f32-accum vs XLA) differ by O(eps_bf16 * magnitude).
+    # (The original absolute 0.1 tripped at C=64 with rel err 0.6%.)
+    rel = err / max(1e-6, float(np.abs(bb).max()))
     tp = _timeit(jax.jit(fp), x, n=16)
     tx = _timeit(jax.jit(fx), x, n=16)
     print(json.dumps({"cell": f"C{c}->{co} {h}x{w} b{b}", "rep": rep,
-                      "max_err": err, "pallas_ms": round(tp * 1e3, 3),
+                      "max_err": err, "rel_err": round(rel, 5),
+                      "pallas_ms": round(tp * 1e3, 3),
                       "xla_ms": round(tx * 1e3, 3)}), flush=True)
-    assert err < 0.1, err
+    assert rel < 0.02, (err, rel)
 
 
 if __name__ == "__main__":

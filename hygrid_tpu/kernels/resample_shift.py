@@ -332,12 +332,13 @@ def apply_plan_shift(image, plan: SamplePlan, geo: ShiftGeometry = None,
         want = max(1, _VMEM_BUDGET // max(1, 2 * n_planes * band
                                           * w_lane * esz))
         # the band DMA requires a sublane-aligned group (gb=3 is a Mosaic
-        # compile error, round-4 A/B; root-caused round 5 — see PERF.md
-        # "gb=3 root cause": the banded scratch ref's (gb, w_lane) minor
-        # dims must be a whole vreg multiple for the strided HBM->VMEM
-        # copy, and 3 < sublane); small batches pad up — the dispatcher's
-        # shift_prefers() routes those to the periodic tier, this stays
-        # correct for explicit impl="shift"/force_banded
+        # compile error, round-4 A/B; root-caused round 5, PERF.md "gb=3
+        # root cause": Mosaic rejects the async-copy source slice with
+        # "Slice shape along dimension 3 must be aligned to tiling (4),
+        # but is 3" — the gb second-minor extent must be a multiple of
+        # the HBM memref's sublane tiling); small batches pad up — the
+        # dispatcher's shift_prefers() routes those to the periodic tier,
+        # this stays correct for explicit impl="shift"/force_banded
         gb = max(sub, (min(bc, want) // sub) * sub)
         import os as _os
         if _os.environ.get("HYGRID_SHIFT_GB"):     # diagnostic override

@@ -19,12 +19,25 @@ the odd-row half-cell offsets without any special casing).
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
 from ..nn.layers import HexConv2d
 
 __all__ = ["HexViT", "hexvit_tiny"]
+
+
+def _fused_attention(query, key, value, bias=None, mask=None,
+                     dropout_rng=None, dropout_rate=0.0, **_):
+    """Route flax attention through ``jax.nn.dot_product_attention`` (the
+    XLA fused-attention path).  Measured on v5e round 5
+    (``benchmarks/hexvit_attn_ab.py``): 6-block d192/T256/b32 body 0.420
+    vs 0.437 ms unfused (+4%); one-block agreement 0.023 absolute in
+    bf16 (softmax reassociation).  flax hands (B, T, heads, head_dim) —
+    the same BTNH layout jax.nn expects."""
+    return jax.nn.dot_product_attention(query, key, value, bias=bias,
+                                        mask=mask)
 
 
 class _Block(nn.Module):
@@ -39,7 +52,8 @@ class _Block(nn.Module):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         y = nn.LayerNorm(**kw)(x)
         y = nn.MultiHeadDotProductAttention(
-            num_heads=self.heads, name="attn", **kw)(y, y)
+            num_heads=self.heads, name="attn",
+            attention_fn=_fused_attention, **kw)(y, y)
         x = x + y
         y = nn.LayerNorm(**kw)(x)
         y = nn.Dense(self.mlp_ratio * self.dim, **kw)(y)
