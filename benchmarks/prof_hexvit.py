@@ -48,7 +48,12 @@ def main():
         return model.apply(params, v)
     _rep("model from hex", _timeit(model_only, hexed, n=16))
 
-    _rep("hexify", _timeit(jax.jit(hexify_batch), x, n=32))
+    # hexify in the model's compute dtype (the round-5 first cut timed the
+    # f32 form here and f32 stems below, inflating both segments —
+    # exposed by benchmarks/stem3_ab.py, whose bf16 stem3 ran 0.043 ms
+    # against the 0.559 printed here; attribution corrected 2026-08-21)
+    _rep("hexify (bf16)", _timeit(jax.jit(
+        lambda v: hexify_batch(v.astype(DT))), x, n=32))
 
     # stem convs one by one (same widths as HexViT with halvings=4, d=192)
     widths = [24, 48, 96, 192]
@@ -56,12 +61,42 @@ def main():
     cur = hexed
     for i, width in enumerate(widths):
         m = HexConv2d(in_channels=cin, out_channels=width, even_odd_offset=0,
-                      hexkernel_radius=2, stride=2, padding=1)
+                      hexkernel_radius=2, stride=2, padding=1, dtype=DT)
         p = m.init(jax.random.key(i), cur)
         f = jax.jit(lambda v, m=m, p=p: m.apply(p, v))
         _rep(f"stem{i} {cin}->{width} @{hh}x{ww} s2", _timeit(f, cur, n=24))
         cur = f(cur)
         cin, hh, ww = width, hh // 2, ww // 2
+
+    # cumulative stem prefixes (round 5): the per-stem probes above are
+    # clean in isolation (stem3_traced_probe.py: every form 0.01-0.07 ms)
+    # yet the same cell reports ~0.54 ms in this process — attribute
+    # in-context by timing chained prefixes, whose DIFFERENCES are the
+    # honest in-model per-stage costs
+    mods, ps = [], []
+    cin2 = 3
+    cur2 = hexed
+    for i, width in enumerate(widths):
+        m2 = HexConv2d(in_channels=cin2, out_channels=width,
+                       even_odd_offset=0, hexkernel_radius=2, stride=2,
+                       padding=1, dtype=DT)
+        ps.append(m2.init(jax.random.key(i), cur2))
+        mods.append(m2)
+        cur2 = m2.apply(ps[-1], cur2)
+        cin2 = width
+
+    def prefix(k):
+        def f(v):
+            for m2, p2 in zip(mods[:k], ps[:k]):
+                v = m2.apply(p2, v)
+            return v
+        return jax.jit(f)
+    prev = 0.0
+    for k in range(1, 5):
+        t = _timeit(prefix(k), hexed, n=24)
+        _rep(f"stems 0..{k-1} cumulative (delta {round((t-prev)*1e3, 4)})",
+             t)
+        prev = t
 
     # the transformer body on ready-made tokens
     tokens = jnp.asarray(rng.random((B, 256, 192)), DT)

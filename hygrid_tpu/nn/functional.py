@@ -479,18 +479,25 @@ def hex_conv2d(x, kernel, bias=None, *, even_odd_offset: int = 0,
     parity = (even_odd_offset + padding) % 2
     s, d = stride, dilation
     if impl == "auto":
-        # single-op routing, measured on v5e (PERF.md impl sweep): at
-        # stride 1 the tap-concatenated matmul ("mxu") wins for C <= 64
-        # (0.80 vs 1.13 packed vs 2.45 direct ms at C=16 256^2); XLA's
-        # native conv ("direct") wins once the contraction is already wide
-        # (C > 64) — and at ANY stride > 1, where the mxu path's strided
-        # tap slices lower to relayouts (PERF.md round 4: the HexViT
-        # stride-2 stem measured mxu 9.28 / type1 3.28 / direct 0.30 ms at
-        # 3->24 @256^2 b32 — 30x for direct).  Chains of 'same' convs
-        # should use hex_conv_stack_pallas, which packs once and beats any
-        # per-op path.
+        # single-op routing, measured on v5e (PERF.md impl sweep + the
+        # round-5 9-cell large-conv sweep, conv_auto_big_ab.py /
+        # bandcells_direct.py): at stride 1 the tap-concatenated matmul
+        # ("mxu") wins for NARROW channels at MODERATE sizes (C <= 32,
+        # < 2^26 elements — e.g. C=8 512^2 b16: 1.76 vs 3.56 direct ms);
+        # XLA's native conv ("direct") wins once the contraction is wide
+        # (C >= 64: 1.22 vs 3.13 mxu at 128^2 b32 — the round-3 "C <= 64"
+        # cutoff contradicted its own sweep row) or the input is large
+        # (mxu falls off a cliff between 2^25 and 2^26 elements: C=32
+        # 256^2 b16 1.61 mxu-best vs b32 6.93 mxu / 4.15 direct) — and at
+        # ANY stride > 1, where the mxu path's strided tap slices lower
+        # to relayouts (PERF.md round 4: the HexViT stride-2 stem
+        # measured mxu 9.28 / direct 0.30 ms — 30x).  Single-op pallas
+        # never beats the best XLA impl by more than noise (its value is
+        # the stack kernel).  Chains of 'same' convs should use
+        # hex_conv_stack_pallas, which packs once and beats any per-op
+        # path.
         c = x.shape[1]
-        if groups == 1 and c <= 64 and s == 1:
+        if groups == 1 and c <= 32 and s == 1 and x.size < 2 ** 26:
             impl = "mxu"
         else:
             impl = "direct"
